@@ -1,0 +1,125 @@
+"""EWA projection of 3D Gaussians to screen-space 2D Gaussians.
+
+TPU-native replacement for the preprocess stage of the CUDA
+diff-gaussian-rasterization submodule (reference API surface documented in
+SURVEY.md section 2.2): world-space means/covariances -> per-Gaussian 2D mean,
+inverse 2D covariance (conic), screen radius, camera depth, and a frustum
+validity mask. Fully differentiable; everything is dense (C,)-shaped vector
+math that XLA fuses into a handful of VPU loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from activesplat_tpu.utils.transforms import quat_to_rotmat
+
+# Geometry must not silently drop to bf16 on the MXU: poses/covariances are
+# precision-critical (a bf16 projected mean is off by ~0.2 px).
+HIGHEST = jax.lax.Precision.HIGHEST
+
+# Low-pass dilation added to 2D covariances, as in EWA splatting — ensures
+# each splat covers at least ~1 pixel (same constant as Inria's rasterizer).
+COV2D_DILATION = 0.3
+
+
+class Projected(NamedTuple):
+    mean2d: jnp.ndarray  # (C, 2) pixel coordinates
+    conic: jnp.ndarray  # (C, 3) upper-triangular inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # (C,) 3-sigma screen radius in pixels (0 if culled)
+    depth: jnp.ndarray  # (C,) camera-frame z
+    valid: jnp.ndarray  # (C,) bool — in front of camera, on screen, active
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    quats: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    active: jnp.ndarray,
+    w2c: jnp.ndarray,
+    fx: jnp.ndarray,
+    fy: jnp.ndarray,
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    width: int,
+    height: int,
+    near: float = 0.01,
+    far: float = 100.0,
+    scale_modifier: float = 1.0,
+) -> Projected:
+    """Project Gaussians into a pinhole camera (OpenCV convention).
+
+    log_scales may be (C, 1) (isotropic) or (C, 3); scale_modifier mirrors the
+    reference's GaussianRasterizationSettings.scale_modifier used by the
+    top-down free-space query (visualizer.py:936, scale_modifier=0.01).
+    """
+    rot_w2c = w2c[:3, :3]
+    t_w2c = w2c[:3, 3]
+    p_cam = (
+        jnp.einsum("nj,ij->ni", means3d, rot_w2c, precision=HIGHEST) + t_w2c
+    )  # (C, 3)
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+
+    in_front = z > near
+    zs = jnp.where(in_front, z, 1.0)  # safe z for divisions
+    inv_z = 1.0 / zs
+
+    mean_x = fx * x * inv_z + cx
+    mean_y = fy * y * inv_z + cy
+    mean2d = jnp.stack([mean_x, mean_y], axis=-1)
+
+    # 3D covariance: R S S^T R^T, computed as M M^T with M = R diag(S).
+    scales = jnp.exp(log_scales) * scale_modifier  # (C, 1|3)
+    scales = jnp.broadcast_to(scales, (means3d.shape[0], 3))
+    rot_g = quat_to_rotmat(quats)  # (C, 3, 3)
+    m = rot_g * scales[:, None, :]
+    cov3d = jnp.einsum("nij,nkj->nik", m, m, precision=HIGHEST)  # (C, 3, 3)
+
+    # Camera-frame covariance.
+    cov_cam = jnp.einsum("ij,njk,lk->nil", rot_w2c, cov3d, rot_w2c, precision=HIGHEST)
+
+    # EWA Jacobian with the standard frustum clamp of the tangent coordinates
+    # (limits splat stretching at image borders).
+    tan_fov_x = 0.5 * width / fx
+    tan_fov_y = 0.5 * height / fy
+    lim_x = 1.3 * tan_fov_x
+    lim_y = 1.3 * tan_fov_y
+    tx = jnp.clip(x * inv_z, -lim_x, lim_x) * zs
+    ty = jnp.clip(y * inv_z, -lim_y, lim_y) * zs
+
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z * inv_z
+
+    # cov2d = J cov_cam J^T, J = [[j00, 0, j02], [0, j11, j12]]
+    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
+    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + COV2D_DILATION
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + COV2D_DILATION
+
+    det = a * c - b * b
+    det_ok = det > 1e-12
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # 3-sigma screen radius from the larger covariance eigenvalue.
+    mid = 0.5 * (a + c)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    on_screen = (
+        (mean_x + radius > 0)
+        & (mean_x - radius < width)
+        & (mean_y + radius > 0)
+        & (mean_y - radius < height)
+    )
+    valid = active & in_front & (z < far) & det_ok & on_screen
+    radius = jnp.where(valid, radius, 0.0)
+
+    return Projected(mean2d=mean2d, conic=conic, radius=radius, depth=z, valid=valid)

@@ -1,0 +1,128 @@
+"""Public render API: one fused multi-channel Gaussian render.
+
+The reference issues two CUDA rasterizer calls per loss step — an RGB pass and
+a depth/silhouette pass whose "colors" are (z, 1, z^2)
+(splatam.py:208-212, slam_helpers.py:196-213). Here a single pass composites
+the channels [r, g, b, z, z^2]; the silhouette equals the composited alpha
+(the reference's all-ones channel), so one render yields everything:
+
+    rgb        — color image (background-blended)
+    depth      — alpha-composited camera-frame z of Gaussian centers
+    depth_sq   — alpha-composited z^2 (depth uncertainty = depth_sq - depth^2)
+    alpha      — total opacity / silhouette
+    radii      — per-Gaussian screen radius (densification bookkeeping)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from activesplat_tpu.models.gaussians import Camera, GaussianBuffer
+from activesplat_tpu.ops.projection import Projected, project_gaussians
+from activesplat_tpu.ops.raster_xla import depth_sort, rasterize_sorted
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray  # (H, W, 3)
+    depth: jnp.ndarray  # (H, W)
+    depth_sq: jnp.ndarray  # (H, W)
+    alpha: jnp.ndarray  # (H, W)
+    radii: jnp.ndarray  # (C,) in input (unsorted) order
+    mean2d: jnp.ndarray  # (C, 2) in input order — the densification grad tap
+    valid: jnp.ndarray  # (C,) bool in input order
+
+
+def render_projected(
+    proj: Projected,
+    rgb: jnp.ndarray,
+    opacities: jnp.ndarray,
+    cam: Camera,
+    bg: Optional[jnp.ndarray] = None,
+    chunk: int = 128,
+) -> RenderOutput:
+    """Rasterize already-projected Gaussians (see `render` for the full path).
+
+    Split out so callers can differentiate with respect to `proj.mean2d`
+    (the means2D gradient accumulation the reference taps via retain_grad,
+    splatam.py:207-209)."""
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+
+    depth_ch = proj.depth
+    channels = jnp.concatenate(
+        [rgb, depth_ch[:, None], (depth_ch * depth_ch)[:, None]], axis=-1
+    )  # (C, 5)
+
+    _, s_valid, s_mean2d, s_conic, s_opacity, s_channels = depth_sort(
+        proj.depth, proj.valid, proj.mean2d, proj.conic, opacities, channels
+    )
+    accum, log_t = rasterize_sorted(
+        s_mean2d,
+        s_conic,
+        s_opacity,
+        s_channels,
+        s_valid,
+        width=cam.width,
+        height=cam.height,
+        chunk=chunk,
+    )
+    transmittance = jnp.exp(log_t)  # (P,)
+    out_rgb = accum[:, :3] + transmittance[:, None] * bg[None, :]
+    out_depth = accum[:, 3]
+    out_depth_sq = accum[:, 4]
+    out_alpha = 1.0 - transmittance
+
+    hw = (cam.height, cam.width)
+    return RenderOutput(
+        rgb=out_rgb.reshape(hw + (3,)),
+        depth=out_depth.reshape(hw),
+        depth_sq=out_depth_sq.reshape(hw),
+        alpha=out_alpha.reshape(hw),
+        radii=proj.radius,
+        mean2d=proj.mean2d,
+        valid=proj.valid,
+    )
+
+
+def render(
+    buf: GaussianBuffer,
+    cam: Camera,
+    bg: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    chunk: int = 128,
+    active_override: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Render the Gaussian map into `cam`. Differentiable in all parameters.
+
+    `active_override` lets queries render a subset (e.g. the reference's
+    timestep filter, splatam.py:436-446, or height slicing,
+    visualizer.py:2277-2286) without reshaping buffers.
+    """
+    params = buf.params
+    active = buf.active if active_override is None else (buf.active & active_override)
+    proj = project_gaussians(
+        params.means3d,
+        params.quats,
+        params.log_scales,
+        active,
+        cam.w2c,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        cam.width,
+        cam.height,
+        near=cam.near,
+        far=cam.far,
+        scale_modifier=scale_modifier,
+    )
+    opacities = jax.nn.sigmoid(params.logit_opacities)
+    return render_projected(proj, params.rgb, opacities, cam, bg=bg, chunk=chunk)
+
+
+# Compiled entry point: Camera's width/height are pytree metadata, so one
+# compilation serves all poses/intrinsics at a given resolution.
+render_jit = jax.jit(render, static_argnames=("chunk",))

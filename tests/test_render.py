@@ -1,0 +1,186 @@
+"""Renderer correctness: XLA chunked rasterizer vs independent numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from activesplat_tpu.models.gaussians import GaussianBuffer, GaussianParams, make_camera
+from activesplat_tpu.ops.render import render_jit as render
+from tests.reference_impl import random_scene, render_reference
+
+W, H = 48, 40
+FX = FY = 40.0
+CX, CY = W / 2 - 1, H / 2 - 1
+K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], dtype=np.float32)
+
+
+def buffer_from_scene(scene):
+    params = GaussianParams(
+        means3d=jnp.asarray(scene["means3d"]),
+        rgb=jnp.asarray(scene["rgb"]),
+        quats=jnp.asarray(scene["quats"]),
+        logit_opacities=jnp.asarray(scene["logit_opacities"]),
+        log_scales=jnp.asarray(scene["log_scales"]),
+    )
+    n = params.capacity
+    return GaussianBuffer(
+        params=params,
+        active=jnp.asarray(scene["active"]),
+        timestep=jnp.zeros(n, jnp.float32),
+        max_radius=jnp.zeros(n, jnp.float32),
+        grad_accum=jnp.zeros(n, jnp.float32),
+        denom=jnp.zeros(n, jnp.float32),
+    )
+
+
+def quantile_close(got, want, q99, mx):
+    """f32 render vs f64 oracle: the 1/255 alpha cutoff makes individual
+    pixels jump by up to one minimum contribution when f32 rounding crosses
+    the threshold, so compare bulk-statistically plus a loose max."""
+    diff = np.abs(np.asarray(got, np.float64) - want)
+    assert np.quantile(diff, 0.99) < q99, (np.quantile(diff, 0.99), q99)
+    assert diff.max() < mx, (diff.max(), mx)
+
+
+@pytest.mark.parametrize("n,chunk", [(50, 16), (200, 64), (7, 16)])
+def test_matches_numpy_oracle(rng, n, chunk):
+    scene = random_scene(rng, n)
+    cam = make_camera(W, H, K, np.eye(4))
+    out = render(buffer_from_scene(scene), cam, chunk=chunk)
+    ref = render_reference(
+        **scene, w2c=np.eye(4), fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H
+    )
+    quantile_close(out.rgb, ref["rgb"], 5e-4, 8e-3)
+    quantile_close(out.depth, ref["depth"], 5e-3, 6e-2)
+    quantile_close(out.depth_sq, ref["depth_sq"], 5e-2, 0.5)
+    quantile_close(out.alpha, ref["alpha"], 5e-4, 8e-3)
+    np.testing.assert_array_equal(np.asarray(out.valid), ref["valid"])
+    np.testing.assert_allclose(np.asarray(out.radii), ref["radii"], atol=1.0)
+
+
+def test_matches_numpy_oracle_exact_x64(rng):
+    """In float64 the chunked log-space compositing is bit-faithful to
+    sequential front-to-back blending (~1e-7)."""
+    import contextlib
+    import dataclasses
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    scene = random_scene(rng, 50)
+    with enable_x64():
+        buf = buffer_from_scene(scene)
+        buf = buf.replace(
+            params=jax.tree.map(lambda x: x.astype(jnp.float64), buf.params)
+        )
+        cam = make_camera(W, H, K, np.eye(4))
+        cam = dataclasses.replace(
+            cam,
+            fx=jnp.float64(FX),
+            fy=jnp.float64(FY),
+            cx=jnp.float64(CX),
+            cy=jnp.float64(CY),
+            w2c=jnp.asarray(np.eye(4)),
+        )
+        out = render(buf, cam, chunk=16)
+        ref = render_reference(
+            **scene, w2c=np.eye(4), fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H
+        )
+        np.testing.assert_allclose(np.asarray(out.rgb), ref["rgb"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.depth), ref["depth"], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.alpha), ref["alpha"], atol=1e-6)
+
+
+def test_background_blend(rng):
+    scene = random_scene(rng, 30)
+    cam = make_camera(W, H, K, np.eye(4))
+    bg = jnp.array([1.0, 1.0, 1.0])
+    out_black = render(buffer_from_scene(scene), cam)
+    out_white = render(buffer_from_scene(scene), cam, bg=bg)
+    t = 1.0 - np.asarray(out_black.alpha)
+    np.testing.assert_allclose(
+        np.asarray(out_white.rgb),
+        np.asarray(out_black.rgb) + t[..., None],
+        atol=1e-5,
+    )
+
+
+def test_inactive_gaussians_are_invisible(rng):
+    scene = random_scene(rng, 60)
+    cam = make_camera(W, H, K, np.eye(4))
+    full = render(buffer_from_scene(scene), cam)
+
+    scene_off = dict(scene)
+    scene_off["active"] = np.zeros(60, dtype=bool)
+    empty = render(buffer_from_scene(scene_off), cam)
+    assert np.all(np.asarray(empty.alpha) == 0.0)
+    assert np.all(np.asarray(empty.radii) == 0.0)
+    assert np.asarray(full.alpha).max() > 0.1
+
+
+def test_nonidentity_pose(rng):
+    scene = random_scene(rng, 80)
+    # camera shifted and rotated
+    c2w = np.eye(4)
+    theta = 0.3
+    c2w[:3, :3] = np.array(
+        [
+            [np.cos(theta), 0, np.sin(theta)],
+            [0, 1, 0],
+            [-np.sin(theta), 0, np.cos(theta)],
+        ]
+    )
+    c2w[:3, 3] = [0.4, -0.2, -0.5]
+    w2c = np.linalg.inv(c2w)
+    cam = make_camera(W, H, K, w2c)
+    out = render(buffer_from_scene(scene), cam)
+    ref = render_reference(
+        **scene, w2c=w2c, fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H
+    )
+    quantile_close(out.rgb, ref["rgb"], 5e-4, 8e-3)
+    quantile_close(out.depth, ref["depth"], 5e-3, 6e-2)
+
+
+def test_gradients_flow(rng):
+    scene = random_scene(rng, 40)
+    cam = make_camera(W, H, K, np.eye(4))
+    buf = buffer_from_scene(scene)
+    target = jnp.zeros((H, W, 3))
+
+    def loss_fn(params):
+        out = render(buf.replace(params=params), cam)
+        return jnp.mean(jnp.abs(out.rgb - target)) + jnp.mean(
+            jnp.abs(out.depth - 2.0)
+        )
+
+    grads = jax.grad(loss_fn)(buf.params)
+    for name in ("means3d", "rgb", "quats", "logit_opacities", "log_scales"):
+        g = np.asarray(getattr(grads, name))
+        assert np.all(np.isfinite(g)), name
+        assert np.abs(g).max() > 0, name
+
+
+def test_gradients_match_finite_difference(rng):
+    scene = random_scene(rng, 12)
+    cam = make_camera(W, H, K, np.eye(4))
+    buf = buffer_from_scene(scene)
+
+    def loss_fn(logit_op):
+        params = buf.params.replace(logit_opacities=logit_op)
+        out = render(buf.replace(params=params), cam)
+        return jnp.sum(out.rgb**2) + jnp.sum(out.depth**2)
+
+    x0 = buf.params.logit_opacities
+    g = np.asarray(jax.grad(loss_fn)(x0))
+    eps = 1e-3
+    for i in range(0, 12, 3):
+        xp = x0.at[i].add(eps)
+        xm = x0.at[i].add(-eps)
+        fd = (loss_fn(xp) - loss_fn(xm)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-3)
