@@ -1,0 +1,69 @@
+"""Mapper hyper-parameters.
+
+Defaults reproduce the reference's config surface: the SplaTAM module config
+(config/splatam/online_habitat_sim.py) plus the per-dataset mapper block
+(config/datasets/gibson.json "mapper"). Hashable dataclass so it can be a
+static jit argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LearningRates:
+    """Per-parameter-group Adam LRs (online_habitat_sim.py:61-69)."""
+
+    means3d: float = 0.0001
+    rgb: float = 0.0025
+    quats: float = 0.001
+    logit_opacities: float = 0.05
+    log_scales: float = 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    seed: int = 0
+    # scheduling (gibson.json mapper block)
+    map_every: int = 5
+    kf_every: int = 5
+    mapping_window_size: int = 12
+    mapping_iters: int = 2
+    # losses (online_habitat_sim.py mapping block)
+    loss_w_im: float = 0.5
+    loss_w_depth: float = 1.0
+    sil_thres: float = 0.98
+    use_sil_for_loss: bool = False
+    ignore_outlier_depth_loss: bool = False
+    lrs: LearningRates = LearningRates()
+    # densification
+    add_new_gaussians: bool = True
+    densify_downscale_factor: int = 1
+    new_gaussian_depth_limit: float = 5.0  # splatam.py:348
+    # gaussian init
+    gaussian_distribution: str = "anisotropic"
+    scene_radius_depth_ratio: float = 3.0
+    # buffer management (TPU-specific: fixed-capacity growth buckets)
+    initial_capacity: int = 1 << 17
+    max_capacity: int = 1 << 22
+    keyframe_capacity: int = 512
+    # rasterizer chunk
+    chunk: int = 256
+    # adam
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-15  # torch Adam eps used by the reference
+    # keyframe selection
+    kf_select_pixels: int = 1600
+    kf_select_edge: int = 20
+
+    def lr_tuple(self) -> Tuple[float, float, float, float, float]:
+        return (
+            self.lrs.means3d,
+            self.lrs.rgb,
+            self.lrs.quats,
+            self.lrs.logit_opacities,
+            self.lrs.log_scales,
+        )

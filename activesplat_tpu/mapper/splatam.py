@@ -1,0 +1,435 @@
+"""Host-side online mapping orchestrator.
+
+TPU-native counterpart of the reference's SplaTAM wrapper
+(src/mapper/splatam/__init__.py:55-838): frame scheduling (map_every /
+kf_every), first-frame init, densification with buffer growth, the jitted
+per-frame optimization phase, keyframe commits, dataset dump, and final
+params.npz export. Tracking is skipped — ground-truth poses are written into
+the camera trajectory, as in the reference (splatam/__init__.py:399-405).
+
+All per-frame compute is 3 jitted device calls at most (densify, mapping
+phase, keyframe commit); python only routes scheduling decisions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from activesplat_tpu.io.manifest import DatasetDumper
+from activesplat_tpu.io.params_io import save_params, save_params_ckpt
+from activesplat_tpu.mapper import MapperState, MapperType
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.mapper.keyframes import KeyframeStore
+from activesplat_tpu.mapper.step import (
+    densify_phase,
+    first_frame_phase,
+    mapping_phase,
+)
+from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, make_camera
+from activesplat_tpu.ops.render import render_jit
+from activesplat_tpu.utils import OPENCV_TO_OPENGL
+from activesplat_tpu.utils.transforms import mat_to_q_pos
+
+
+class SplaTAMMapper:
+    def __init__(
+        self,
+        cfg: MapperConfig,
+        width: int,
+        height: int,
+        intrinsics: np.ndarray,
+        step_num: int,
+        results_dir: Optional[str] = None,
+        depth_scale: float = 1.0,
+        save_dataset: bool = True,
+        save_checkpoints: bool = False,
+        checkpoint_interval: int = 5,
+    ):
+        self.cfg = cfg
+        self.width, self.height = int(width), int(height)
+        self.intrinsics = np.asarray(intrinsics, np.float64)
+        self.step_num = int(step_num)
+        self.results_dir = results_dir
+        self.save_checkpoints = save_checkpoints
+        self.checkpoint_interval = checkpoint_interval
+
+        # mutable scheduling knobs (set_mapper service swaps these during
+        # bootstrap, visualizer.py:2236-2254)
+        self.kf_every = cfg.kf_every
+        self.map_every = cfg.map_every
+        self.mapping_iters = cfg.mapping_iters
+
+        self.buf = GaussianBuffer.empty(
+            cfg.initial_capacity, isotropic=cfg.gaussian_distribution == "isotropic"
+        )
+        self.store = KeyframeStore.empty(cfg.keyframe_capacity, self.height, self.width)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        self.tracking_idx = 0
+        self.mapping_idx: Optional[int] = None
+        self.scene_radius: float = 1.0
+        self.est_c2w: List[np.ndarray] = []
+        self.gt_w2c_rel: List[np.ndarray] = []  # gradslam-convention relative w2c
+        self.cam_quats: List[np.ndarray] = []  # absolute OpenCV w2c as quat/trans
+        self.cam_trans: List[np.ndarray] = []
+        self.keyframe_time_indices: List[int] = []
+        self._first_pose_gl: Optional[np.ndarray] = None
+
+        self.mapping_iter_time_sum = 0.0
+        self.mapping_iter_time_count = 0
+        self.mapping_frame_time_sum = 0.0
+        self.mapping_frame_time_count = 0
+        self.last_metrics: Dict[str, float] = {}
+        self.high_loss_samples_pose_c2w: Optional[np.ndarray] = None
+
+        self.dumper: Optional[DatasetDumper] = None
+        if results_dir is not None:
+            gdir = os.path.join(results_dir, "gaussians_data")
+            if os.path.exists(os.path.join(gdir, "rgb")):
+                shutil.rmtree(gdir)
+            self.dumper = DatasetDumper(
+                gdir,
+                self.width,
+                self.height,
+                intrinsics[0, 0],
+                intrinsics[1, 1],
+                intrinsics[0, 2],
+                intrinsics[1, 2],
+                depth_scale=depth_scale,
+                save_images=save_dataset,
+            )
+
+    # ------------------------------------------------------------------ #
+
+    def _camera(self, w2c: np.ndarray) -> Camera:
+        return make_camera(self.width, self.height, self.intrinsics, w2c)
+
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _grow_if_needed(self, dropped: int, headroom: int) -> bool:
+        if dropped <= 0:
+            return False
+        needed = int(self.buf.num_active()) + dropped + headroom
+        new_cap = self.buf.capacity
+        while new_cap < needed and new_cap < self.cfg.max_capacity:
+            new_cap *= 2
+        if new_cap > self.buf.capacity:
+            self.buf = self.buf.grown(new_cap)
+            return True
+        return False
+
+    # ------------------------------------------------------------------ #
+
+    def run(self, batch: Optional[Dict[str, np.ndarray]]) -> MapperState:
+        """Feed one frame {rgb (H,W,3) f32, depth (H,W) f32, c2w (4,4) OpenCV,
+        frame_id int}. Returns the mapper state for this frame
+        (run semantics: splatam/__init__.py:139-174)."""
+        if batch is None:
+            return MapperState.MAPPING
+        frame_id = int(batch["frame_id"])
+        assert frame_id == self.tracking_idx, (
+            f"frame ids must be consecutive, got {frame_id} != {self.tracking_idx}"
+        )
+        self.tracking_idx += 1
+
+        if self.mapping_idx is None:
+            state = MapperState.BOOTSTRAP
+            self.mapping_idx = 0
+        elif self.tracking_idx <= self.step_num:
+            self.mapping_idx = frame_id
+            state = MapperState.MAPPING
+        else:
+            return MapperState.IDLE
+
+        self._mapping(batch, frame_id)
+        return state
+
+    # ------------------------------------------------------------------ #
+
+    def _mapping(self, batch: Dict[str, np.ndarray], frame_id: int) -> None:
+        t_frame = time.time()
+        rgb = np.asarray(batch["rgb"], np.float32)
+        depth = np.asarray(batch["depth"], np.float32)
+        c2w = np.asarray(batch["c2w"], np.float64)
+        w2c = np.linalg.inv(c2w)
+        self.est_c2w.append(c2w)
+
+        # trajectory bookkeeping: absolute OpenCV w2c as quat/trans
+        # (splatam/__init__.py:400-405), and the gradslam-convention
+        # relative-to-first-frame w2c used by gt_w2c_all_frames
+        # (splatam/__init__.py:333-338).
+        quat, pos = mat_to_q_pos(w2c)
+        self.cam_quats.append(quat)
+        self.cam_trans.append(pos)
+        pose_gl = OPENCV_TO_OPENGL @ w2c.T @ OPENCV_TO_OPENGL
+        if self._first_pose_gl is None:
+            self._first_pose_gl = pose_gl
+        rel_pose = np.linalg.inv(self._first_pose_gl) @ pose_gl
+        self.gt_w2c_rel.append(np.linalg.inv(rel_pose))
+
+        if self.dumper is not None:
+            self.dumper.add_frame(frame_id, rgb, depth, w2c)
+
+        cam = self._camera(w2c)
+        rgb_j = jnp.asarray(rgb)
+        depth_j = jnp.asarray(depth)
+
+        if frame_id == 0:
+            self.buf, dropped, scene_radius = first_frame_phase(
+                self.buf, cam, rgb_j, depth_j, self.cfg
+            )
+            if self._grow_if_needed(int(dropped), self.width * self.height):
+                self.buf, dropped, scene_radius = first_frame_phase(
+                    self.buf, cam, rgb_j, depth_j, self.cfg
+                )
+            self.scene_radius = float(scene_radius)
+
+        # Scheduling (splatam/__init__.py:395-397): iters run every frame if
+        # mapping_iters >= map_every, otherwise only on map frames.
+        iter_per_frame = int(self.mapping_iters // self.map_every)
+        if iter_per_frame == 0 and frame_id % self.map_every == 0:
+            iter_per_frame = int(self.mapping_iters)
+
+        is_map_frame = frame_id == 0 or (frame_id + 1) % self.map_every == 0
+
+        # Densification on map frames (splatam/__init__.py:408-417).
+        if is_map_frame and self.cfg.add_new_gaussians and frame_id > 0:
+            self.buf, dropped, n_new = densify_phase(
+                self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id), self.cfg
+            )
+            if self._grow_if_needed(int(dropped), 4096):
+                self.buf, dropped, n_new = densify_phase(
+                    self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id), self.cfg
+                )
+
+        # Optimization phase: selection + iterations, one device program.
+        if iter_per_frame > 0:
+            t_iter = time.time()
+            self.buf, self.store, metrics = mapping_phase(
+                self.buf,
+                self.store,
+                rgb_j,
+                depth_j,
+                jnp.asarray(w2c, jnp.float32),
+                jnp.int32(frame_id),
+                cam,
+                self._next_key(),
+                self.cfg,
+                iter_per_frame,
+            )
+            jax.block_until_ready(self.buf.params.means3d)
+            dt = time.time() - t_iter
+            self.mapping_iter_time_sum += dt
+            self.mapping_iter_time_count += iter_per_frame
+            self.last_metrics = {
+                "loss": float(np.asarray(metrics["loss"])[-1]),
+                "psnr": float(np.asarray(metrics["psnr"])[-1]),
+                "depth_l1": float(np.asarray(metrics["depth_l1"])[-1]),
+            }
+
+        # Keyframe commit (splatam/__init__.py:514-524).
+        if (
+            frame_id == 0
+            or (frame_id + 1) % self.kf_every == 0
+            or frame_id == self.step_num - 2
+        ) and np.isfinite(w2c).all():
+            self.store = self.store.committed(
+                rgb_j, depth_j, jnp.asarray(w2c, jnp.float32), jnp.int32(frame_id)
+            )
+            self.keyframe_time_indices.append(frame_id)
+
+        if (
+            self.save_checkpoints
+            and self.results_dir
+            and frame_id % self.checkpoint_interval == 0
+        ):
+            ckpt_dir = os.path.join(self.results_dir, "gaussians_data", "checkpoints")
+            save_params_ckpt(ckpt_dir, self.buf, frame_id)
+            np.save(
+                os.path.join(ckpt_dir, f"keyframe_time_indices{frame_id}.npy"),
+                np.array(self.keyframe_time_indices),
+            )
+
+        self.mapping_frame_time_sum += time.time() - t_frame
+        self.mapping_frame_time_count += 1
+
+    # ------------------------------------------------------------------ #
+
+    def post_processing(self) -> Optional[str]:
+        """Final export (post_processing semantics,
+        splatam/__init__.py:544-578)."""
+        iters = max(self.mapping_iter_time_count, 1)
+        frames = max(self.mapping_frame_time_count, 1)
+        print(
+            f"Average Mapping/Iteration Time: {self.mapping_iter_time_sum / iters * 1000:.2f} ms"
+        )
+        print(f"Average Mapping/Frame Time: {self.mapping_frame_time_sum / frames:.4f} s")
+        if self.results_dir is None:
+            return None
+        t = len(self.cam_quats)
+        cam_unnorm_rots = np.stack(self.cam_quats, -1)[None]  # (1, 4, T)
+        cam_trans = np.stack(self.cam_trans, -1)[None]  # (1, 3, T)
+        out_dir = os.path.join(self.results_dir, "gaussians_data")
+        path = save_params(
+            out_dir,
+            self.buf,
+            cam_unnorm_rots,
+            cam_trans,
+            self.intrinsics,
+            np.eye(4, dtype=np.float32),
+            self.width,
+            self.height,
+            np.stack(self.gt_w2c_rel, 0) if t else np.zeros((0, 4, 4)),
+            np.array(self.keyframe_time_indices),
+        )
+        if self.dumper is not None:
+            self.dumper.write()
+        print("Saved SplaTAM results to:", out_dir)
+        return path
+
+    # ------------------------------------------------------------------ #
+    # map-query renders (L3): panoramic invisibility + view renders
+
+    def render_rgbd(self, c2w: np.ndarray, scale_modifier: float = 1.0):
+        """Render the map from a pose: (rgb uint8 (H,W,3), depth meters (H,W))
+        (render_rgbd semantics, splatam/__init__.py:604-632; white bg for the
+        color channel as in render(), splatam.py:413-434)."""
+        cam = self._camera(np.linalg.inv(c2w))
+        out = render_jit(
+            self.buf,
+            cam,
+            bg=jnp.ones(3),
+            scale_modifier=scale_modifier,
+            chunk=self.cfg.chunk,
+        )
+        rgb = (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
+        return rgb, np.asarray(out.depth)
+
+    def render_view(
+        self, cam: Camera, scale_modifier: float = 1.0
+    ) -> Dict[str, np.ndarray]:
+        """Full-channel view render for GUI/topdown consumers
+        (render_o3d_image role, splatam/__init__.py:634-695). Returns dict
+        with rgb (float), depth, opacity."""
+        out = render_jit(
+            self.buf,
+            cam,
+            bg=jnp.ones(3),
+            scale_modifier=scale_modifier,
+            chunk=self.cfg.chunk,
+        )
+        return {
+            "rgb": np.asarray(out.rgb),
+            "depth": np.asarray(out.depth),
+            "opacity": np.asarray(out.alpha),
+        }
+
+    def get_global_invisibility(self, view_c2w: np.ndarray, node_positions):
+        """Per-node (invisibility, hole volume) — one batched device call
+        for all nodes (reference loops 3x2 renders per node,
+        splatam/__init__.py:697-759)."""
+        from activesplat_tpu.queries.panorama import global_invisibility
+
+        return global_invisibility(
+            self.buf, np.asarray(view_c2w), node_positions, chunk=self.cfg.chunk
+        )
+
+    def get_local_invisibility(
+        self, view_c2w: np.ndarray, cluster_invisibility_threshold: float = 25.0
+    ):
+        from activesplat_tpu.queries.panorama import local_invisibility
+
+        return local_invisibility(
+            self.buf,
+            np.asarray(view_c2w),
+            cluster_invisibility_threshold,
+            chunk=self.cfg.chunk,
+        )
+
+    def get_high_loss_samples(
+        self,
+        rgb_gt: np.ndarray,
+        depth_gt: np.ndarray,
+        c2w: np.ndarray,
+        cluster_invisibility_threshold: float = 25.0,
+        hfov_deg: float = 90.0,
+        vfov_deg: float = 90.0,
+    ) -> Optional[np.ndarray]:
+        """Reorientation target from depth-error clusters of the current view
+        (get_high_loss_samples, splatam/__init__.py:185-252): pixels where the
+        map renders *behind* the GT depth with high confidence are clustered;
+        a rotation toward the biggest cluster is returned if > 5 deg away."""
+        import cv2
+        from sklearn.cluster import DBSCAN
+
+        from activesplat_tpu.utils.transforms import rot_axis
+
+        cam = self._camera(np.linalg.inv(c2w))
+        out = render_jit(self.buf, cam, chunk=self.cfg.chunk)
+        depth = np.asarray(out.depth)
+        opacity = np.asarray(out.alpha)
+        depth_error = np.abs(depth - depth_gt) * (depth_gt > 0)
+        mask = (depth > depth_gt) & (depth_error > 0.3) & (opacity > 0.8)
+        mask_small = cv2.resize(
+            mask.astype(np.uint8),
+            (int(hfov_deg), int(vfov_deg)),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        points = np.column_stack(np.where(mask_small > 0))
+        if len(points) == 0 or mask_small.sum() <= 20:
+            return None
+        labels = DBSCAN(eps=5, min_samples=10).fit_predict(points)
+        centers, sums = [], []
+        for label in set(labels):
+            if label == -1:
+                continue
+            members = points[labels == label]
+            total = float(mask_small[members[:, 0], members[:, 1]].sum())
+            if total > cluster_invisibility_threshold:
+                centers.append(members.mean(0))
+                sums.append(total)
+        if not sums:
+            return None
+        c = centers[int(np.argmax(sums))]
+        h_angle = np.deg2rad(c[1] / mask_small.shape[1] * hfov_deg - hfov_deg / 2)
+        v_angle = np.deg2rad(c[0] / mask_small.shape[0] * vfov_deg - vfov_deg / 2)
+        if abs(h_angle) <= np.deg2rad(5) and abs(v_angle) <= np.deg2rad(5):
+            return None
+        pose = rot_axis(np.asarray(c2w, np.float64), "y", h_angle)
+        return rot_axis(pose, "x", v_angle)
+
+    # ------------------------------------------------------------------ #
+    # knobs used by the set_mapper service (visualizer.py:2236-2254)
+
+    def get_kf_every(self) -> int:
+        return int(self.kf_every)
+
+    def set_kf_every(self, value: int) -> None:
+        self.kf_every = int(value)
+
+    def get_map_every(self) -> int:
+        return int(self.map_every)
+
+    def set_map_every(self, value: int) -> None:
+        self.map_every = int(value)
+
+    def get_mapping_iters(self) -> int:
+        return int(self.mapping_iters)
+
+    def get_step_num(self) -> int:
+        return self.step_num
+
+    def get_mapper_type(self) -> MapperType:
+        return MapperType.SplaTAM
+
+    def num_gaussians(self) -> int:
+        return int(self.buf.num_active())

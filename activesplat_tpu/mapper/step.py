@@ -1,0 +1,249 @@
+"""Jitted mapping computation: loss, the per-frame optimization phase, and
+silhouette-driven densification.
+
+TPU-first structure: one `mapping_phase` call runs the *entire* per-frame
+optimization (keyframe selection, N Adam iterations with on-device keyframe
+gathers, bookkeeping) as a single compiled program with a `lax.scan` over
+iterations — where the reference loops in python dispatching CUDA kernels per
+iteration (splatam/__init__.py:445-497).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from activesplat_tpu.mapper.adam import AdamState, adam_update, lr_pytree
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.mapper.geometry import gaussians_from_rgbd
+from activesplat_tpu.mapper.keyframes import KeyframeStore
+from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, insert_gaussians
+from activesplat_tpu.ops.render import render
+from activesplat_tpu.ops.ssim import psnr, ssim
+
+
+class LossAux(NamedTuple):
+    rgb_l1: jnp.ndarray
+    depth_l1: jnp.ndarray
+    ssim: jnp.ndarray
+    radii: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def mapping_loss(
+    params,
+    buf: GaussianBuffer,
+    cam: Camera,
+    im_gt: jnp.ndarray,  # (H, W, 3)
+    depth_gt: jnp.ndarray,  # (H, W)
+    cfg: MapperConfig,
+) -> Tuple[jnp.ndarray, LossAux]:
+    """Mapping loss (get_loss semantics for mapping=True, splatam.py:172-301):
+    masked mean depth L1 + (0.8 L1 + 0.2 (1-SSIM)) RGB, black background.
+
+    One fused render supplies rgb/depth/silhouette (the reference issues two
+    rasterizer passes, splatam.py:208-212).
+    """
+    out = render(buf.replace(params=params), cam, chunk=cfg.chunk)
+
+    mask = depth_gt > 0
+    if cfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(depth_gt - out.depth) * mask
+        mask = mask & (depth_error < 10.0 * jnp.median(depth_error))
+    if cfg.use_sil_for_loss:
+        mask = mask & (out.alpha > cfg.sil_thres)
+    mask = jax.lax.stop_gradient(mask)
+
+    depth_l1 = jnp.sum(jnp.abs(depth_gt - out.depth) * mask) / jnp.maximum(
+        jnp.sum(mask), 1.0
+    )
+    rgb_l1 = jnp.mean(jnp.abs(out.rgb - im_gt))
+    ssim_val = ssim(out.rgb, im_gt)
+    loss_im = 0.8 * rgb_l1 + 0.2 * (1.0 - ssim_val)
+    loss = cfg.loss_w_im * loss_im + cfg.loss_w_depth * depth_l1
+    aux = LossAux(
+        rgb_l1=rgb_l1,
+        depth_l1=depth_l1,
+        ssim=ssim_val,
+        radii=out.radii,
+        psnr=psnr(out.rgb, im_gt),
+    )
+    return loss, aux
+
+
+def _build_window(
+    store: KeyframeStore,
+    selected_ids: jnp.ndarray,
+    selected_valid: jnp.ndarray,
+):
+    """Selected overlap keyframes + last committed keyframe + current frame
+    (scratch slot), compacted valid-first (splatam/__init__.py:426-436)."""
+    last_id = jnp.maximum(store.count - 1, 0)
+    has_last = store.count > 0
+    window = jnp.concatenate(
+        [
+            selected_ids,
+            jnp.array([0, store.scratch_slot], jnp.int32)
+            .at[0]
+            .set(last_id.astype(jnp.int32)),
+        ]
+    )
+    wvalid = jnp.concatenate([selected_valid, jnp.array([False, True])])
+    wvalid = wvalid.at[len(selected_ids)].set(has_last)
+    order = jnp.argsort(~wvalid, stable=True)
+    return window[order], jnp.sum(wvalid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_iters"))
+def mapping_phase(
+    buf: GaussianBuffer,
+    store: KeyframeStore,
+    cur_rgb: jnp.ndarray,
+    cur_depth: jnp.ndarray,
+    cur_w2c: jnp.ndarray,
+    cur_frame_id: jnp.ndarray,
+    cam: Camera,
+    key: jax.Array,
+    cfg: MapperConfig,
+    num_iters: int,
+):
+    """One full per-frame mapping event. Returns
+    (buf, store_with_scratch, metrics dict)."""
+    from activesplat_tpu.mapper.keyframes import select_keyframes_overlap
+
+    store = store.with_scratch(cur_rgb, cur_depth, cur_w2c, cur_frame_id)
+
+    key_sel, key_iters = jax.random.split(key)
+    sel_ids, sel_valid = select_keyframes_overlap(
+        store,
+        cur_depth,
+        cur_w2c,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        key_sel,
+        num_select=cfg.mapping_window_size - 2,
+        pixels=cfg.kf_select_pixels,
+        edge=cfg.kf_select_edge,
+    )
+    window, n_valid = _build_window(store, sel_ids, sel_valid)
+
+    # Fresh optimizer per mapping event (splatam/__init__.py:440).
+    opt_state = AdamState.init(buf.params)
+    lrs = lr_pytree(cfg)
+
+    grad_fn = jax.value_and_grad(mapping_loss, has_aux=True)
+
+    def body(carry, it_key):
+        buf_c, opt_c = carry
+        idx = window[jax.random.randint(it_key, (), 0, jnp.maximum(n_valid, 1))]
+        im = store.rgb[idx]
+        dep = store.depth[idx]
+        cam_i = dataclasses.replace(cam, w2c=store.w2c[idx])
+        (loss, aux), grads = grad_fn(buf_c.params, buf_c, cam_i, im, dep, cfg)
+        new_params, opt_n = adam_update(
+            buf_c.params, grads, opt_c, lrs, cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
+        )
+        seen = aux.radii > 0
+        buf_n = buf_c.replace(
+            params=new_params,
+            max_radius=jnp.where(
+                seen, jnp.maximum(buf_c.max_radius, aux.radii), buf_c.max_radius
+            ),
+        )
+        return (buf_n, opt_n), (loss, aux.psnr, aux.depth_l1)
+
+    keys = jax.random.split(key_iters, num_iters)
+    (buf, _), (losses, psnrs, depth_l1s) = jax.lax.scan(body, (buf, opt_state), keys)
+    metrics = {
+        "loss": losses,
+        "psnr": psnrs,
+        "depth_l1": depth_l1s,
+        "num_window": n_valid,
+    }
+    return buf, store, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def densify_phase(
+    buf: GaussianBuffer,
+    cam: Camera,  # w2c = current frame
+    rgb: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    cfg: MapperConfig,
+):
+    """Silhouette/depth-error densification (add_new_gaussians semantics,
+    splatam.py:332-379): pixels the map does not yet explain become new
+    Gaussians, written into free buffer slots. Returns
+    (buf, num_dropped, num_inserted)."""
+    out = render(buf, cam, chunk=cfg.chunk)
+    sil = out.alpha
+    depth_error = jnp.abs(depth_gt - out.depth) * (depth_gt > 0)
+    med = jnp.median(depth_error)
+    non_presence_depth = (
+        (out.depth > depth_gt)
+        & (depth_error > 2.0 * med)
+        & (sil > cfg.sil_thres)
+        & (depth_gt < cfg.new_gaussian_depth_limit)
+    )
+    non_presence = (sil < cfg.sil_thres) | non_presence_depth
+    valid = non_presence.reshape(-1) & (depth_gt.reshape(-1) > 0)
+
+    c2w = jnp.linalg.inv(cam.w2c)
+    cand, cand_valid = gaussians_from_rgbd(
+        rgb,
+        depth_gt,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        c2w,
+        isotropic=cfg.gaussian_distribution == "isotropic",
+    )
+    valid = valid & cand_valid
+    before = buf.num_active()
+    buf, dropped = insert_gaussians(buf, cand, valid, frame_id)
+    return buf, dropped, buf.num_active() - before
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def first_frame_phase(
+    buf: GaussianBuffer,
+    cam: Camera,
+    rgb: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    cfg: MapperConfig,
+):
+    """Initialize the map from frame 0: one Gaussian per valid-depth pixel
+    (initialize_first_timestep semantics, splatam.py:127-169)."""
+    c2w = jnp.linalg.inv(cam.w2c)
+    cand, valid = gaussians_from_rgbd(
+        rgb,
+        depth_gt,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        c2w,
+        isotropic=cfg.gaussian_distribution == "isotropic",
+    )
+    buf, dropped = insert_gaussians(buf, cand, valid, jnp.float32(0.0))
+    scene_radius = jnp.max(depth_gt) / cfg.scene_radius_depth_ratio
+    return buf, dropped, scene_radius
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prune_phase(buf: GaussianBuffer, cfg: MapperConfig, opacity_threshold: float = 0.005):
+    """Low-opacity pruning (prune_gaussians semantics,
+    slam_external.py:171-192, off by default in the reference config)."""
+    from activesplat_tpu.models.gaussians import prune_mask
+
+    opac = jax.nn.sigmoid(buf.params.logit_opacities)
+    remove = buf.active & (opac < opacity_threshold)
+    return prune_mask(buf, remove), jnp.sum(remove.astype(jnp.int32))

@@ -1,0 +1,169 @@
+"""Panoramic (360 deg) invisibility queries for exploration scoring.
+
+Reference behavior (get_global_invisibility / get_local_invisibility,
+src/mapper/splatam/__init__.py:697-838): three 120deg-HFOV x 150deg-VFOV
+renders (120x150 px — 1 px per degree) stitched into a panorama; invisibility
+= 1 - composited opacity; global queries score hole volumes via
+DBSCAN+ConvexHull; local queries propose a reorientation toward the largest
+invisible cluster.
+
+TPU-first redesign: all views (3 per node x N nodes) are rendered in ONE
+batched (vmapped) device call instead of the reference's sequential
+2-passes-per-view CUDA loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from activesplat_tpu.models.gaussians import GaussianBuffer, make_camera
+from activesplat_tpu.ops.render import render
+from activesplat_tpu.queries.clusters import (
+    get_convexhull_volume,
+    get_invisibility_clusters,
+)
+from activesplat_tpu.utils.transforms import compute_intrinsics, rot_axis
+
+PANO_HFOV_DEG = 120.0
+PANO_VFOV_DEG = 150.0
+PANO_WIDTH = 120
+PANO_HEIGHT = 150
+PANO_VIEWS = 3  # 360 / PANO_HFOV
+
+
+def _pano_camera_template():
+    fx, fy, cx, cy = compute_intrinsics(
+        PANO_WIDTH, PANO_HEIGHT, np.deg2rad(PANO_HFOV_DEG), np.deg2rad(PANO_VFOV_DEG)
+    )
+    intr = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+    return make_camera(PANO_WIDTH, PANO_HEIGHT, intr, np.eye(4), near=0.01, far=100.0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _render_views(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256):
+    """Batched render of (M, 4, 4) w2cs -> stacked (M, H, W) outputs."""
+    cam = _pano_camera_template()
+
+    def one(w2c):
+        out = render(buf, dataclasses.replace(cam, w2c=w2c), chunk=chunk)
+        return out.rgb, out.depth, out.alpha
+
+    return jax.vmap(one)(w2cs)
+
+
+def pano_view_poses(view_c2w: np.ndarray) -> np.ndarray:
+    """The 3 look-around c2ws: successive 120-deg rotations about the
+    camera's own vertical axis (splatam/__init__.py:716-717)."""
+    return np.stack(
+        [
+            rot_axis(view_c2w, "y", np.deg2rad(PANO_HFOV_DEG * i))
+            for i in range(PANO_VIEWS)
+        ]
+    )
+
+
+def render_panorama(
+    buf: GaussianBuffer, view_c2w: np.ndarray, chunk: int = 256
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One 360-deg panorama: returns (rgb (H, 3W, 3), depth (H, 3W),
+    invisibility (H, 3W))."""
+    poses = pano_view_poses(view_c2w)
+    w2cs = jnp.asarray(np.linalg.inv(poses), jnp.float32)
+    rgb, depth, alpha = _render_views(buf, w2cs, chunk)
+    rgb = np.concatenate(np.asarray(rgb), axis=1)
+    depth = np.concatenate(np.asarray(depth), axis=1)
+    invis = 1.0 - np.concatenate(np.asarray(alpha), axis=1)
+    return rgb, depth, invis
+
+
+def global_invisibility(
+    buf: GaussianBuffer,
+    view_c2w: np.ndarray,
+    node_positions: np.ndarray,  # (N, 3) world positions (height from view)
+    chunk: int = 256,
+) -> List[Tuple[float, float]]:
+    """Per-node (sum_invisibility, hole_volume) scores. All N x 3 views render
+    in a single batched device call; hole scoring (DBSCAN + ConvexHull) runs
+    on host over the tiny panoramas (get_global_invisibility semantics,
+    splatam/__init__.py:697-759: node position replaces the camera's
+    horizontal position, height/orientation kept from the current frame)."""
+    node_positions = np.asarray(node_positions, np.float64).reshape(-1, 3)
+    n = len(node_positions)
+    if n == 0:
+        return []
+    all_poses = []
+    skip = np.zeros(n, bool)
+    for i, pos in enumerate(node_positions):
+        if np.all(pos == 0):
+            skip[i] = True
+            all_poses.append(np.stack([np.eye(4)] * PANO_VIEWS))
+            continue
+        c2w = view_c2w.copy()
+        c2w[0, 3] = pos[0]
+        c2w[2, 3] = pos[2]  # keep agent camera height (splatam/__init__.py:703-704)
+        all_poses.append(pano_view_poses(c2w))
+    w2cs = jnp.asarray(
+        np.linalg.inv(np.concatenate(all_poses, 0)), jnp.float32
+    )  # (N*3, 4, 4)
+    _, depth, alpha = _render_views(buf, w2cs, chunk)
+    depth = np.asarray(depth).reshape(n, PANO_VIEWS, PANO_HEIGHT, PANO_WIDTH)
+    alpha = np.asarray(alpha).reshape(n, PANO_VIEWS, PANO_HEIGHT, PANO_WIDTH)
+
+    results = []
+    for i in range(n):
+        if skip[i]:
+            results.append((0.0, 0.0))
+            continue
+        pano_depth = np.concatenate(depth[i], axis=1)
+        pano_invis = 1.0 - np.concatenate(alpha[i], axis=1)
+        inv_sum, volume = get_convexhull_volume(
+            pano_depth, pano_invis, vfov_deg=PANO_VFOV_DEG
+        )
+        results.append((float(inv_sum), float(volume)))
+    return results
+
+
+def local_invisibility(
+    buf: GaussianBuffer,
+    view_c2w: np.ndarray,
+    cluster_invisibility_threshold: float = 25.0,
+    chunk: int = 256,
+) -> Tuple[float, Optional[np.ndarray], np.ndarray]:
+    """Local refinement query: returns (sum_invisibility, best reorientation
+    c2w or None, invisibility panorama). A reorientation toward the largest
+    invisible cluster is proposed when its direction is > 15 deg off-center
+    (get_local_invisibility, splatam/__init__.py:761-838)."""
+    _, _, invis = render_panorama(buf, view_c2w, chunk)
+    sum_invis = float(np.sum(invis))
+    best_pose = None
+    if sum_invis > 100.0:
+        # 0.5x downsample before clustering (splatam/__init__.py:810-813)
+        factor = 0.5
+        small = cv2.resize(
+            invis,
+            (int(invis.shape[1] * factor), int(invis.shape[0] * factor)),
+            interpolation=cv2.INTER_AREA,
+        )
+        centers, sums = get_invisibility_clusters(
+            small, cluster_invisibility_threshold
+        )
+        if sums:
+            c = centers[int(np.argmax(sums))]
+            # pixel offsets from the FIRST view's center (= current heading),
+            # 1 px == 1 degree (splatam/__init__.py:821-823 uses the single
+            # view's width/height as the reference frame)
+            du = c[1] / factor - PANO_WIDTH / 2
+            dv = c[0] / factor - PANO_HEIGHT / 2
+            h_angle = np.deg2rad(du)
+            v_angle = np.deg2rad(dv)
+            if abs(h_angle) > np.deg2rad(15) or abs(v_angle) > np.deg2rad(15):
+                best_pose = rot_axis(view_c2w, "y", h_angle)
+                best_pose = rot_axis(best_pose, "x", v_angle)
+    return sum_invis, best_pose, invis
