@@ -1,0 +1,90 @@
+"""Batch scene evaluation: run episodes over scene lists and aggregate
+judges (reference: scripts/batch/run_batch_scenes.sh + eval_results_actions.py
+— loops scenes x repetitions, then scores every actions.txt)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from activesplat_tpu.eval.replay import eval_actions
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.runtime.launch import make_synthetic_dataset, run_episode
+
+# synthetic benchmark suite (role of gibson_small.txt etc.)
+SCENE_SETS: Dict[str, List[Dict]] = {
+    "synthetic_small": [
+        {"scene_id": "single_room", "seed": s, "step_num": 300} for s in range(3)
+    ],
+    "synthetic_big": [
+        {"scene_id": "two_room", "seed": s, "step_num": 600} for s in range(3)
+    ],
+}
+
+
+def run_batch(
+    scene_set: str,
+    output_dir: str,
+    repetitions: int = 1,
+    mapper_cfg: Optional[MapperConfig] = None,
+    width: int = 128,
+    height: int = 128,
+    pixel_max: int = 180,
+) -> List[Dict]:
+    """Run episodes + coverage judge over a scene set; writes
+    actions_error.txt per run and a summary.json (eval_results_actions.py
+    output shape)."""
+    results = []
+    for spec in SCENE_SETS[scene_set]:
+        for rep in range(repetitions):
+            run_name = f"{spec['scene_id']}-{spec['seed']}-rep{rep}"
+            results_dir = os.path.join(output_dir, run_name)
+            dataset = make_synthetic_dataset(
+                scene_id=spec["scene_id"],
+                seed=spec["seed"],
+                step_num=spec["step_num"],
+                width=width,
+                height=height,
+                results_dir=results_dir,
+            )
+            run_episode(
+                dataset, results_dir, mapper_cfg=mapper_cfg, pixel_max=pixel_max
+            )
+            replay_dataset = make_synthetic_dataset(
+                scene_id=spec["scene_id"],
+                seed=spec["seed"],
+                step_num=spec["step_num"],
+                width=width,
+                height=height,
+                results_dir=None,
+            )
+            report = eval_actions(
+                replay_dataset, os.path.join(results_dir, "actions.txt")
+            )
+            with open(os.path.join(results_dir, "actions_error.txt"), "w") as fh:
+                fh.write(report.as_row() + "\n")
+            results.append(
+                {
+                    "run": run_name,
+                    "completeness": report.completeness,
+                    "completeness_ratio": report.completeness_ratio,
+                    "accuracy": report.accuracy,
+                    "path_length": report.path_length,
+                }
+            )
+    summary = {
+        "scene_set": scene_set,
+        "runs": results,
+        "mean_completeness": float(np.mean([r["completeness"] for r in results])),
+        "mean_completeness_ratio": float(
+            np.mean([r["completeness_ratio"] for r in results])
+        ),
+        "mean_accuracy": float(np.mean([r["accuracy"] for r in results])),
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return results

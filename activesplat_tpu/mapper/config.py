@@ -49,8 +49,10 @@ class MapperConfig:
     initial_capacity: int = 1 << 17
     max_capacity: int = 1 << 22
     keyframe_capacity: int = 512
-    # rasterizer chunk
+    # rasterizer: chunk size for the dense path; k_per_tile > 0 switches to
+    # the tile-binned production rasterizer (ops/raster_tiled.py)
     chunk: int = 256
+    k_per_tile: int = 0
     # adam
     adam_b1: float = 0.9
     adam_b2: float = 0.999

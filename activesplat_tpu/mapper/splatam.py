@@ -51,7 +51,9 @@ class SplaTAMMapper:
         save_dataset: bool = True,
         save_checkpoints: bool = False,
         checkpoint_interval: int = 5,
+        pano_scale: float = 1.0,
     ):
+        self.pano_scale = pano_scale
         self.cfg = cfg
         self.width, self.height = int(width), int(height)
         self.intrinsics = np.asarray(intrinsics, np.float64)
@@ -340,7 +342,11 @@ class SplaTAMMapper:
         from activesplat_tpu.queries.panorama import global_invisibility
 
         return global_invisibility(
-            self.buf, np.asarray(view_c2w), node_positions, chunk=self.cfg.chunk
+            self.buf,
+            np.asarray(view_c2w),
+            node_positions,
+            chunk=self.cfg.chunk,
+            scale=self.pano_scale,
         )
 
     def get_local_invisibility(
@@ -353,6 +359,7 @@ class SplaTAMMapper:
             np.asarray(view_c2w),
             cluster_invisibility_threshold,
             chunk=self.cfg.chunk,
+            scale=self.pano_scale,
         )
 
     def get_high_loss_samples(

@@ -48,7 +48,9 @@ def mapping_loss(
     One fused render supplies rgb/depth/silhouette (the reference issues two
     rasterizer passes, splatam.py:208-212).
     """
-    out = render(buf.replace(params=params), cam, chunk=cfg.chunk)
+    out = render(
+        buf.replace(params=params), cam, chunk=cfg.chunk, k_per_tile=cfg.k_per_tile
+    )
 
     mask = depth_gt > 0
     if cfg.ignore_outlier_depth_loss:
@@ -170,6 +172,33 @@ def mapping_phase(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def mapping_iteration(
+    buf: GaussianBuffer,
+    opt_state: AdamState,
+    cam: Camera,
+    im_gt: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    cfg: MapperConfig,
+):
+    """One standalone optimization iteration (render + loss + backward +
+    Adam) — the unit the reference times as 'Average Mapping/Iteration Time'
+    (splatam/__init__.py:545-552). Used by bench.py and ad-hoc fitting."""
+    grad_fn = jax.value_and_grad(mapping_loss, has_aux=True)
+    (loss, aux), grads = grad_fn(buf.params, buf, cam, im_gt, depth_gt, cfg)
+    new_params, opt_state = adam_update(
+        buf.params, grads, opt_state, lr_pytree(cfg), cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
+    )
+    seen = aux.radii > 0
+    buf = buf.replace(
+        params=new_params,
+        max_radius=jnp.where(
+            seen, jnp.maximum(buf.max_radius, aux.radii), buf.max_radius
+        ),
+    )
+    return buf, opt_state, {"loss": loss, "psnr": aux.psnr, "depth_l1": aux.depth_l1}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def densify_phase(
     buf: GaussianBuffer,
     cam: Camera,  # w2c = current frame
@@ -182,7 +211,7 @@ def densify_phase(
     splatam.py:332-379): pixels the map does not yet explain become new
     Gaussians, written into free buffer slots. Returns
     (buf, num_dropped, num_inserted)."""
-    out = render(buf, cam, chunk=cfg.chunk)
+    out = render(buf, cam, chunk=cfg.chunk, k_per_tile=cfg.k_per_tile)
     sil = out.alpha
     depth_error = jnp.abs(depth_gt - out.depth) * (depth_gt > 0)
     med = jnp.median(depth_error)

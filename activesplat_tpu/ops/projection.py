@@ -56,12 +56,16 @@ def project_gaussians(
     reference's GaussianRasterizationSettings.scale_modifier used by the
     top-down free-space query (visualizer.py:936, scale_modifier=0.01).
     """
+    # All geometry is explicit elementwise math over (C,)-vectors: batched
+    # 3x3 matmuls would pad onto 128x128 MXU tiles (and bf16-quantize under
+    # default precision) — the VPU does this in a handful of fused loops.
     rot_w2c = w2c[:3, :3]
     t_w2c = w2c[:3, 3]
-    p_cam = (
-        jnp.einsum("nj,ij->ni", means3d, rot_w2c, precision=HIGHEST) + t_w2c
-    )  # (C, 3)
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    r = rot_w2c
+    x = r[0, 0] * mx + r[0, 1] * my + r[0, 2] * mz + t_w2c[0]
+    y = r[1, 0] * mx + r[1, 1] * my + r[1, 2] * mz + t_w2c[1]
+    z = r[2, 0] * mx + r[2, 1] * my + r[2, 2] * mz + t_w2c[2]
 
     in_front = z > near
     zs = jnp.where(in_front, z, 1.0)  # safe z for divisions
@@ -71,15 +75,32 @@ def project_gaussians(
     mean_y = fy * y * inv_z + cy
     mean2d = jnp.stack([mean_x, mean_y], axis=-1)
 
-    # 3D covariance: R S S^T R^T, computed as M M^T with M = R diag(S).
+    # 3D covariance: M M^T with M = R_g diag(S), then the camera-frame
+    # congruence V = R M (R M)^T — fused as one elementwise product chain.
     scales = jnp.exp(log_scales) * scale_modifier  # (C, 1|3)
     scales = jnp.broadcast_to(scales, (means3d.shape[0], 3))
     rot_g = quat_to_rotmat(quats)  # (C, 3, 3)
-    m = rot_g * scales[:, None, :]
-    cov3d = jnp.einsum("nij,nkj->nik", m, m, precision=HIGHEST)  # (C, 3, 3)
+    m = rot_g * scales[:, None, :]  # (C, 3, 3)
+    # rows of A = R_w2c @ M, written out with scalar R entries (VPU-friendly)
+    a = [
+        [
+            r[i, 0] * m[:, 0, j] + r[i, 1] * m[:, 1, j] + r[i, 2] * m[:, 2, j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
 
-    # Camera-frame covariance.
-    cov_cam = jnp.einsum("ij,njk,lk->nil", rot_w2c, cov3d, rot_w2c, precision=HIGHEST)
+    def dot_rows(i, j):
+        return a[i][0] * a[j][0] + a[i][1] * a[j][1] + a[i][2] * a[j][2]
+
+    cov_cam = {
+        (0, 0): dot_rows(0, 0),
+        (0, 1): dot_rows(0, 1),
+        (0, 2): dot_rows(0, 2),
+        (1, 1): dot_rows(1, 1),
+        (1, 2): dot_rows(1, 2),
+        (2, 2): dot_rows(2, 2),
+    }
 
     # EWA Jacobian with the standard frustum clamp of the tangent coordinates
     # (limits splat stretching at image borders).
@@ -96,8 +117,8 @@ def project_gaussians(
     j12 = -fy * ty * inv_z * inv_z
 
     # cov2d = J cov_cam J^T, J = [[j00, 0, j02], [0, j11, j12]]
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    c00, c01, c02 = cov_cam[(0, 0)], cov_cam[(0, 1)], cov_cam[(0, 2)]
+    c11, c12, c22 = cov_cam[(1, 1)], cov_cam[(1, 2)], cov_cam[(2, 2)]
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + COV2D_DILATION
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + COV2D_DILATION

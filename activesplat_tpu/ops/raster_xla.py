@@ -85,8 +85,12 @@ def rasterize_sorted(
     width: int,
     height: int,
     chunk: int = 128,
+    row_offset=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Front-to-back alpha compositing over pre-sorted Gaussians.
+
+    `row_offset` renders rows [row_offset, row_offset + height) of a larger
+    frame (used by the row-sharded multi-chip render).
 
     Returns (accum (H*W, C), log_transmittance (H*W,)).
     """
@@ -108,7 +112,9 @@ def rasterize_sorted(
     p = width * height
     dtype = colors.dtype
     px = (jnp.arange(p, dtype=dtype) % width)
-    py = jnp.floor(jnp.arange(p, dtype=dtype) / width)
+    py = jnp.floor(jnp.arange(p, dtype=dtype) / width) + jnp.asarray(
+        row_offset, dtype
+    )
 
     n_channels = colors.shape[-1]
     init = (

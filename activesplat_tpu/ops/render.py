@@ -42,12 +42,17 @@ def render_projected(
     cam: Camera,
     bg: Optional[jnp.ndarray] = None,
     chunk: int = 128,
+    k_per_tile: int = 0,
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
     Split out so callers can differentiate with respect to `proj.mean2d`
     (the means2D gradient accumulation the reference taps via retain_grad,
-    splatam.py:207-209)."""
+    splatam.py:207-209).
+
+    k_per_tile > 0 selects the tile-binned rasterizer (ops/raster_tiled.py):
+    each 16x16 tile composites only its nearest k overlapping Gaussians —
+    the production path; 0 selects the dense chunked rasterizer."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
 
@@ -56,19 +61,35 @@ def render_projected(
         [rgb, depth_ch[:, None], (depth_ch * depth_ch)[:, None]], axis=-1
     )  # (C, 5)
 
-    _, s_valid, s_mean2d, s_conic, s_opacity, s_channels = depth_sort(
-        proj.depth, proj.valid, proj.mean2d, proj.conic, opacities, channels
+    _, s_valid, s_mean2d, s_conic, s_opacity, s_channels, s_radius = depth_sort(
+        proj.depth, proj.valid, proj.mean2d, proj.conic, opacities, channels,
+        proj.radius,
     )
-    accum, log_t = rasterize_sorted(
-        s_mean2d,
-        s_conic,
-        s_opacity,
-        s_channels,
-        s_valid,
-        width=cam.width,
-        height=cam.height,
-        chunk=chunk,
-    )
+    if k_per_tile > 0:
+        from activesplat_tpu.ops.raster_tiled import rasterize_tiled_sorted
+
+        accum, log_t, _ = rasterize_tiled_sorted(
+            s_mean2d,
+            s_conic,
+            s_opacity,
+            s_channels,
+            s_valid,
+            s_radius,
+            width=cam.width,
+            height=cam.height,
+            k_per_tile=k_per_tile,
+        )
+    else:
+        accum, log_t = rasterize_sorted(
+            s_mean2d,
+            s_conic,
+            s_opacity,
+            s_channels,
+            s_valid,
+            width=cam.width,
+            height=cam.height,
+            chunk=chunk,
+        )
     transmittance = jnp.exp(log_t)  # (P,)
     out_rgb = accum[:, :3] + transmittance[:, None] * bg[None, :]
     out_depth = accum[:, 3]
@@ -94,6 +115,7 @@ def render(
     scale_modifier: float = 1.0,
     chunk: int = 128,
     active_override: Optional[jnp.ndarray] = None,
+    k_per_tile: int = 0,
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 
@@ -120,9 +142,11 @@ def render(
         scale_modifier=scale_modifier,
     )
     opacities = jax.nn.sigmoid(params.logit_opacities)
-    return render_projected(proj, params.rgb, opacities, cam, bg=bg, chunk=chunk)
+    return render_projected(
+        proj, params.rgb, opacities, cam, bg=bg, chunk=chunk, k_per_tile=k_per_tile
+    )
 
 
 # Compiled entry point: Camera's width/height are pytree metadata, so one
 # compilation serves all poses/intrinsics at a given resolution.
-render_jit = jax.jit(render, static_argnames=("chunk",))
+render_jit = jax.jit(render, static_argnames=("chunk", "k_per_tile"))

@@ -1,0 +1,175 @@
+"""Device-mesh sharding of the rasterize/optimize hot path.
+
+The reference is a single-GPU system (SURVEY.md section 2.3: no DP/TP/PP).
+The TPU rebuild's parallelism axis is *image space*: tile rasterization is
+embarrassingly parallel across pixels, so the render shards image ROWS across
+the mesh while the Gaussian buffer stays replicated (tens of MB — cheap), and
+gradients of the replicated parameters are combined by the all_gather
+transpose (reduce-scatter + replication) XLA inserts automatically.
+
+Design notes (scaling-book recipe):
+  * mesh: 1D ('px',) over all chips; collectives ride ICI.
+  * forward: shard_map over row blocks; each shard renders its rows with a
+    row-shifted principal point (identical math to a full-frame render);
+    outputs are all_gathered so the loss (incl. the windowed SSIM, which
+    crosses row boundaries) is computed replicated.
+  * backward: jax.grad through shard_map — the all_gather transposes to
+    psum_scatter, yielding the correct summed parameter gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from activesplat_tpu.mapper.adam import AdamState, adam_update, lr_pytree
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.models.gaussians import Camera, GaussianBuffer
+from activesplat_tpu.ops.render import render
+from activesplat_tpu.ops.ssim import psnr, ssim
+
+
+def make_render_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("px",))
+
+
+def render_sharded(
+    buf: GaussianBuffer,
+    cam: Camera,
+    mesh: Mesh,
+    bg: jnp.ndarray | None = None,
+    chunk: int = 128,
+):
+    """Full-frame render with image rows sharded over mesh axis 'px';
+    returns replicated (rgb, depth, alpha, radii). Differentiable.
+
+    Projection + depth sort run replicated (O(N), cheap); only the per-pixel
+    compositing — the dominant cost — is sharded, so results are bitwise
+    identical to the single-device render.
+    """
+    from activesplat_tpu.ops.projection import project_gaussians
+    from activesplat_tpu.ops.raster_xla import depth_sort, rasterize_sorted
+
+    n_dev = mesh.shape["px"]
+    assert cam.height % n_dev == 0, (
+        f"image height {cam.height} must divide the mesh ({n_dev} devices)"
+    )
+    rows = cam.height // n_dev
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+
+    params = buf.params
+    proj = project_gaussians(
+        params.means3d,
+        params.quats,
+        params.log_scales,
+        buf.active,
+        cam.w2c,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        cam.width,
+        cam.height,
+        near=cam.near,
+        far=cam.far,
+    )
+    opac = jax.nn.sigmoid(params.logit_opacities)
+    channels = jnp.concatenate(
+        [params.rgb, proj.depth[:, None], (proj.depth * proj.depth)[:, None]], -1
+    )
+    _, s_valid, s_mean2d, s_conic, s_opac, s_channels = depth_sort(
+        proj.depth, proj.valid, proj.mean2d, proj.conic, opac, channels
+    )
+
+    def shard_fn(mean2d, conic, opacity, chans, valid, bg_rep):
+        row0 = jax.lax.axis_index("px") * rows
+        accum, log_t = rasterize_sorted(
+            mean2d,
+            conic,
+            opacity,
+            chans,
+            valid,
+            width=cam.width,
+            height=rows,
+            chunk=chunk,
+            row_offset=row0,
+        )
+        t = jnp.exp(log_t)
+        rgb = (accum[:, :3] + t[:, None] * bg_rep[None, :]).reshape(
+            rows, cam.width, 3
+        )
+        depth = accum[:, 3].reshape(rows, cam.width)
+        alpha = (1.0 - t).reshape(rows, cam.width)
+        rgb = jax.lax.all_gather(rgb, "px", tiled=True)
+        depth = jax.lax.all_gather(depth, "px", tiled=True)
+        alpha = jax.lax.all_gather(alpha, "px", tiled=True)
+        return rgb, depth, alpha
+
+    rgb, depth, alpha = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(s_mean2d, s_conic, s_opac, s_channels, s_valid, bg)
+    return rgb, depth, alpha, proj.radius
+
+
+def sharded_mapping_loss(
+    params,
+    buf: GaussianBuffer,
+    cam: Camera,
+    im_gt: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    cfg: MapperConfig,
+    mesh: Mesh,
+):
+    """mapping_loss (mapper/step.py) with the render sharded over the mesh."""
+    rgb, depth, alpha, radii = render_sharded(
+        buf.replace(params=params), cam, mesh, chunk=cfg.chunk
+    )
+    mask = jax.lax.stop_gradient(depth_gt > 0)
+    depth_l1 = jnp.sum(jnp.abs(depth_gt - depth) * mask) / jnp.maximum(
+        jnp.sum(mask), 1.0
+    )
+    rgb_l1 = jnp.mean(jnp.abs(rgb - im_gt))
+    ssim_val = ssim(rgb, im_gt)
+    loss = cfg.loss_w_im * (0.8 * rgb_l1 + 0.2 * (1.0 - ssim_val)) + (
+        cfg.loss_w_depth * depth_l1
+    )
+    return loss, (radii, psnr(rgb, im_gt), depth_l1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sharded_mapping_step(
+    buf: GaussianBuffer,
+    opt_state: AdamState,
+    cam: Camera,
+    im_gt: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    cfg: MapperConfig,
+    mesh: Mesh,
+) -> Tuple[GaussianBuffer, AdamState, dict]:
+    """One full multi-chip training step: sharded render, loss, backward
+    (reduce-scatter + replicate of parameter grads), per-group Adam update."""
+    grad_fn = jax.value_and_grad(sharded_mapping_loss, has_aux=True)
+    (loss, (radii, psnr_val, depth_l1)), grads = grad_fn(
+        buf.params, buf, cam, im_gt, depth_gt, cfg, mesh
+    )
+    new_params, opt_state = adam_update(
+        buf.params, grads, opt_state, lr_pytree(cfg), cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
+    )
+    seen = radii > 0
+    buf = buf.replace(
+        params=new_params,
+        max_radius=jnp.where(seen, jnp.maximum(buf.max_radius, radii), buf.max_radius),
+    )
+    return buf, opt_state, {"loss": loss, "psnr": psnr_val, "depth_l1": depth_l1}

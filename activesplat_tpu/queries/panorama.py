@@ -33,23 +33,30 @@ from activesplat_tpu.utils.transforms import compute_intrinsics, rot_axis
 
 PANO_HFOV_DEG = 120.0
 PANO_VFOV_DEG = 150.0
-PANO_WIDTH = 120
+PANO_WIDTH = 120  # at scale 1.0: 1 px == 1 degree (splatam/__init__.py:711)
 PANO_HEIGHT = 150
 PANO_VIEWS = 3  # 360 / PANO_HFOV
 
 
-def _pano_camera_template():
+def pano_dims(scale: float = 1.0):
+    return int(round(PANO_WIDTH * scale)), int(round(PANO_HEIGHT * scale))
+
+
+def _pano_camera_template(scale: float = 1.0):
+    width, height = pano_dims(scale)
     fx, fy, cx, cy = compute_intrinsics(
-        PANO_WIDTH, PANO_HEIGHT, np.deg2rad(PANO_HFOV_DEG), np.deg2rad(PANO_VFOV_DEG)
+        width, height, np.deg2rad(PANO_HFOV_DEG), np.deg2rad(PANO_VFOV_DEG)
     )
     intr = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
-    return make_camera(PANO_WIDTH, PANO_HEIGHT, intr, np.eye(4), near=0.01, far=100.0)
+    return make_camera(width, height, intr, np.eye(4), near=0.01, far=100.0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _render_views(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256):
+@functools.partial(jax.jit, static_argnames=("chunk", "scale"))
+def _render_views(
+    buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256, scale: float = 1.0
+):
     """Batched render of (M, 4, 4) w2cs -> stacked (M, H, W) outputs."""
-    cam = _pano_camera_template()
+    cam = _pano_camera_template(scale)
 
     def one(w2c):
         out = render(buf, dataclasses.replace(cam, w2c=w2c), chunk=chunk)
@@ -70,13 +77,13 @@ def pano_view_poses(view_c2w: np.ndarray) -> np.ndarray:
 
 
 def render_panorama(
-    buf: GaussianBuffer, view_c2w: np.ndarray, chunk: int = 256
+    buf: GaussianBuffer, view_c2w: np.ndarray, chunk: int = 256, scale: float = 1.0
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One 360-deg panorama: returns (rgb (H, 3W, 3), depth (H, 3W),
     invisibility (H, 3W))."""
     poses = pano_view_poses(view_c2w)
     w2cs = jnp.asarray(np.linalg.inv(poses), jnp.float32)
-    rgb, depth, alpha = _render_views(buf, w2cs, chunk)
+    rgb, depth, alpha = _render_views(buf, w2cs, chunk, scale)
     rgb = np.concatenate(np.asarray(rgb), axis=1)
     depth = np.concatenate(np.asarray(depth), axis=1)
     invis = 1.0 - np.concatenate(np.asarray(alpha), axis=1)
@@ -88,6 +95,7 @@ def global_invisibility(
     view_c2w: np.ndarray,
     node_positions: np.ndarray,  # (N, 3) world positions (height from view)
     chunk: int = 256,
+    scale: float = 1.0,
 ) -> List[Tuple[float, float]]:
     """Per-node (sum_invisibility, hole_volume) scores. All N x 3 views render
     in a single batched device call; hole scoring (DBSCAN + ConvexHull) runs
@@ -109,12 +117,18 @@ def global_invisibility(
         c2w[0, 3] = pos[0]
         c2w[2, 3] = pos[2]  # keep agent camera height (splatam/__init__.py:703-704)
         all_poses.append(pano_view_poses(c2w))
-    w2cs = jnp.asarray(
-        np.linalg.inv(np.concatenate(all_poses, 0)), jnp.float32
-    )  # (N*3, 4, 4)
-    _, depth, alpha = _render_views(buf, w2cs, chunk)
-    depth = np.asarray(depth).reshape(n, PANO_VIEWS, PANO_HEIGHT, PANO_WIDTH)
-    alpha = np.asarray(alpha).reshape(n, PANO_VIEWS, PANO_HEIGHT, PANO_WIDTH)
+    w2cs_np = np.linalg.inv(np.concatenate(all_poses, 0))  # (N*3, 4, 4)
+    # pad the batch to a power-of-two bucket so XLA compiles a bounded
+    # number of batched-render variants regardless of node count
+    m = len(w2cs_np)
+    bucket = max(8, 1 << (m - 1).bit_length())
+    pad = bucket - m
+    if pad:
+        w2cs_np = np.concatenate([w2cs_np, np.tile(np.eye(4), (pad, 1, 1))], 0)
+    width, height = pano_dims(scale)
+    _, depth, alpha = _render_views(buf, jnp.asarray(w2cs_np, jnp.float32), chunk, scale)
+    depth = np.asarray(depth)[:m].reshape(n, PANO_VIEWS, height, width)
+    alpha = np.asarray(alpha)[:m].reshape(n, PANO_VIEWS, height, width)
 
     results = []
     for i in range(n):
@@ -135,15 +149,16 @@ def local_invisibility(
     view_c2w: np.ndarray,
     cluster_invisibility_threshold: float = 25.0,
     chunk: int = 256,
+    scale: float = 1.0,
 ) -> Tuple[float, Optional[np.ndarray], np.ndarray]:
     """Local refinement query: returns (sum_invisibility, best reorientation
     c2w or None, invisibility panorama). A reorientation toward the largest
     invisible cluster is proposed when its direction is > 15 deg off-center
     (get_local_invisibility, splatam/__init__.py:761-838)."""
-    _, _, invis = render_panorama(buf, view_c2w, chunk)
+    _, _, invis = render_panorama(buf, view_c2w, chunk, scale)
     sum_invis = float(np.sum(invis))
     best_pose = None
-    if sum_invis > 100.0:
+    if sum_invis > 100.0 * scale * scale:
         # 0.5x downsample before clustering (splatam/__init__.py:810-813)
         factor = 0.5
         small = cv2.resize(
@@ -159,10 +174,11 @@ def local_invisibility(
             # pixel offsets from the FIRST view's center (= current heading),
             # 1 px == 1 degree (splatam/__init__.py:821-823 uses the single
             # view's width/height as the reference frame)
-            du = c[1] / factor - PANO_WIDTH / 2
-            dv = c[0] / factor - PANO_HEIGHT / 2
-            h_angle = np.deg2rad(du)
-            v_angle = np.deg2rad(dv)
+            du = c[1] / factor - invis.shape[1] / PANO_VIEWS / 2
+            dv = c[0] / factor - invis.shape[0] / 2
+            # 1 px == 1/scale degrees
+            h_angle = np.deg2rad(du / scale)
+            v_angle = np.deg2rad(dv / scale)
             if abs(h_angle) > np.deg2rad(15) or abs(v_angle) > np.deg2rad(15):
                 best_pose = rot_axis(view_c2w, "y", h_angle)
                 best_pose = rot_axis(best_pose, "x", v_angle)

@@ -1,0 +1,135 @@
+"""Episode launcher: the roslaunch-equivalent entry point.
+
+Wires the mapper node + planner FSM over the in-process bus and runs a full
+active-exploration episode (reference: launch/habitat.launch starting
+mapper_node.py + planner_node.py). Outputs land in the reference's result
+layout: results_dir/{gaussians_data/{params.npz, transforms.json, rgb, depth},
+actions.txt, visited_map.png, topdown_free_map.png}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.runtime.bus import Bus
+from activesplat_tpu.runtime.dataloader import RGBDSensor, SyntheticDataset
+from activesplat_tpu.runtime.mapper_node import MapperNode
+from activesplat_tpu.runtime.planner_fsm import PlannerFSM
+from activesplat_tpu.runtime.synthetic import BoxWorld
+
+
+def make_synthetic_dataset(
+    scene_id: str = "two_room",
+    seed: int = 0,
+    step_num: int = 500,
+    width: int = 256,
+    height: int = 256,
+    hfov_deg: float = 90.0,
+    depth_max: float = 10.0,
+    turn_angle_deg: float = 10.0,
+    tilt_angle_deg: float = 15.0,
+    results_dir: Optional[str] = None,
+) -> SyntheticDataset:
+    maker = {"two_room": BoxWorld.two_room, "single_room": BoxWorld.single_room}[
+        scene_id
+    ]
+    world = maker(seed=seed)
+    sensor = RGBDSensor.from_fov(
+        width, height, hfov_deg, depth_min=0.0, depth_max=depth_max
+    )
+    sx, _, sz = world.size
+    # start near a free spot around the room center
+    start = None
+    for dx in np.linspace(0, min(sx, sz) / 2 - 0.5, 8):
+        candidate = np.array([sx / 2 + dx, 0.0, sz / 4])
+        if world.is_free(candidate[[0, 2]], 0.2):
+            start = candidate
+            break
+    return SyntheticDataset(
+        world,
+        sensor,
+        step_num=step_num,
+        start_position=start,
+        turn_angle_deg=turn_angle_deg,
+        tilt_angle_deg=tilt_angle_deg,
+        results_dir=results_dir,
+        scene_id=f"{scene_id}-{seed}",
+    )
+
+
+def run_episode(
+    dataset: SyntheticDataset,
+    results_dir: str,
+    mapper_cfg: Optional[MapperConfig] = None,
+    pixel_max: int = 360,
+    save_runtime_data: bool = False,
+    save_dataset: bool = True,
+    max_ticks: int = 100000,
+    pano_scale: float = 1.0,
+):
+    """Run one exploration episode to budget exhaustion. Returns
+    (mapper_node, planner)."""
+    mapper_cfg = mapper_cfg or MapperConfig()
+    bus = Bus()
+    mapper_node = MapperNode(
+        bus,
+        dataset,
+        mapper_cfg,
+        results_dir,
+        pixel_max=pixel_max,
+        save_runtime_data=save_runtime_data,
+        save_dataset=save_dataset,
+        pano_scale=pano_scale,
+    )
+    planner = PlannerFSM(bus, save_runtime_data=save_runtime_data)
+    planner.run(max_ticks=max_ticks)
+    mapper_node.finish()
+    dataset.close()
+    return mapper_node, planner
+
+
+def main():
+    parser = argparse.ArgumentParser(description="ActiveSplat-TPU episode launcher")
+    parser.add_argument("--scene_id", default="two_room")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--step_num", type=int, default=500)
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--results_dir", required=True)
+    parser.add_argument("--pixel_max", type=int, default=360)
+    parser.add_argument("--save_runtime_data", type=int, default=0)
+    parser.add_argument("--config", type=str, default=None, help="dataset JSON config")
+    args = parser.parse_args()
+
+    kw = {}
+    if args.config:
+        with open(args.config) as fh:
+            cfg = json.load(fh)
+        kw["step_num"] = cfg.get("dataset", {}).get("step_num", args.step_num)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    dataset = make_synthetic_dataset(
+        scene_id=args.scene_id,
+        seed=args.seed,
+        step_num=kw.get("step_num", args.step_num),
+        width=args.width,
+        height=args.height,
+        results_dir=args.results_dir,
+    )
+    mapper_node, planner = run_episode(
+        dataset,
+        args.results_dir,
+        pixel_max=args.pixel_max,
+        save_runtime_data=bool(args.save_runtime_data),
+    )
+    print("episode finished:", mapper_node.mapper.num_gaussians(), "gaussians")
+
+
+if __name__ == "__main__":
+    main()

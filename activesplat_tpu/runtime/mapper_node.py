@@ -1,0 +1,226 @@
+"""Mapper-side node: the headless equivalent of the reference's Visualizer
+orchestrator (src/visualizer/visualizer.py, minus the Open3D GUI).
+
+Owns the dataset (simulator), the online mapper, and the top-down grid; serves
+the reference's mapper-side services (get_dataset_config, get_topdown_config,
+get_topdown, get_opacity, set_mapper, reset_env) and drives movement from the
+cmd_vel topic. All reference Condition-variable rendezvous become synchronous
+calls: a get_topdown call renders fresh maps on the spot.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.mapper.splatam import SplaTAMMapper
+from activesplat_tpu.queries.topdown import (
+    TopdownConfig,
+    render_topdown,
+    topdown_config_from_bbox,
+)
+from activesplat_tpu.runtime.bus import Bus
+from activesplat_tpu.runtime.dataloader import SyntheticDataset
+from activesplat_tpu.utils import GlobalState
+
+
+class MapperNode:
+    def __init__(
+        self,
+        bus: Bus,
+        dataset: SyntheticDataset,
+        mapper_cfg: MapperConfig,
+        results_dir: str,
+        pixel_max: int = 360,
+        single_floor_expansion=(0.25, 2.0),  # (foot, head) — gibson.json mapper block
+        agent_foot_adjust: float = 0.0,
+        save_runtime_data: bool = False,
+        save_dataset: bool = True,
+        pano_scale: float = 1.0,
+    ) -> None:
+        self.bus = bus
+        self.dataset = dataset
+        self.results_dir = results_dir
+        self.save_runtime_data = save_runtime_data
+        os.makedirs(results_dir, exist_ok=True)
+        self.global_state = GlobalState.AUTO_PLANNING
+
+        sensor = dataset.sensor
+        self.mapper = SplaTAMMapper(
+            mapper_cfg,
+            sensor.width,
+            sensor.height,
+            sensor.intrinsics,
+            step_num=dataset.step_num + 1,
+            results_dir=results_dir,
+            depth_scale=sensor.depth_scale,
+            save_dataset=save_dataset,
+            pano_scale=pano_scale,
+        )
+
+        # --- first frame + top-down grid geometry (visualizer.py:166-273) ---
+        frame0 = dataset.get_frame()
+        sensor_h = float(frame0["c2w"][1, 3])
+        agent_foot = sensor_h - float(sensor.position[1])
+        agent_head = agent_foot + dataset.agent_height
+        cfg_ds = dataset.dataset_config(results_dir)
+        bbox = np.asarray(cfg_ds["scene_bbox"], np.float64).copy()
+        # single-floor slab: clamp the height band around the agent
+        bbox[1, 0] = max(bbox[1, 0], agent_foot - single_floor_expansion[0])
+        bbox[1, 1] = min(bbox[1, 1], agent_head + single_floor_expansion[1])
+        self.topdown_cfg: TopdownConfig = topdown_config_from_bbox(
+            bbox,
+            agent_foot=agent_foot + agent_foot_adjust,
+            agent_head=agent_head,
+            pixel_max=pixel_max,
+            height_axis=1,
+        )
+        self.movement_fail_times = 0
+        self.last_frame: Optional[Dict[str, np.ndarray]] = frame0
+        self._finished = False
+
+        bus.register_service("get_dataset_config", lambda: cfg_ds)
+        bus.register_service("get_topdown_config", self._get_topdown_config)
+        bus.register_service("get_topdown", self._get_topdown)
+        bus.register_service("get_opacity", self._get_opacity)
+        bus.register_service("set_mapper", self._set_mapper)
+        bus.register_service("reset_env", self._reset_env)
+        bus.subscribe("cmd_vel", self._on_cmd_vel)
+
+        # map the first frame immediately (reference maps frame 0 on startup)
+        self.mapper.run(frame0)
+        self._publish_pose(frame0)
+
+    # ------------------------------------------------------------------ #
+
+    def _publish_pose(self, frame: Dict[str, np.ndarray]) -> None:
+        self.bus.publish("camera_pose", np.asarray(frame["c2w"], np.float64))
+        self.bus.publish("movement_fail_times", self.movement_fail_times)
+        if self.mapper.high_loss_samples_pose_c2w is not None:
+            self.bus.publish(
+                "high_loss_samples_pose", self.mapper.high_loss_samples_pose_c2w
+            )
+
+    def _on_cmd_vel(self, twist: Dict[str, np.ndarray]) -> None:
+        """Apply one movement, map the resulting frame
+        (role of __cmd_vel_callback -> __apply_movement -> UpdateDataset,
+        visualizer.py:2121-2150, 1717-1781)."""
+        if self._finished:
+            return
+        from activesplat_tpu.runtime.dataloader import twist_to_action
+
+        if twist_to_action(twist) is None:
+            return  # zero twist: no step (dataloader.py:242-263 semantics)
+        moved = self.dataset.apply_movement(twist)
+        if not moved:
+            self.movement_fail_times += 1
+        else:
+            self.movement_fail_times = 0
+        frame = self.dataset.get_frame()
+        # high-loss-sample detection runs on map frames inside the mapper
+        if self.mapper.buf.num_active() > 0:
+            self.mapper.high_loss_samples_pose_c2w = self.mapper.get_high_loss_samples(
+                frame["rgb"], frame["depth"], frame["c2w"]
+            )
+        self.mapper.run(frame)
+        self.last_frame = frame
+        self._publish_pose(frame)
+        if self.dataset.is_finished():
+            self.finish()
+
+    def finish(self) -> None:
+        if self._finished:
+            return
+        self._finished = True
+        self.global_state = GlobalState.QUIT
+        self.mapper.post_processing()
+        if self.bus.has_service("set_planner_state"):
+            self.bus.call("set_planner_state", GlobalState.QUIT)
+
+    # ------------------------------------------------------------------ #
+    # services
+
+    def _get_topdown_config(self) -> Dict:
+        cfg = self.topdown_cfg
+        return {
+            "world_dim_index": cfg.world_dim_index,
+            "world_2d_bbox": cfg.world_2d_bbox,
+            "grid_map_shape": cfg.grid_shape,
+            "meter_per_pixel": cfg.meter_per_pixel,
+        }
+
+    def _get_topdown(self, arrived_flag: bool) -> Optional[Dict]:
+        if self.global_state == GlobalState.QUIT:
+            return None
+        free_binary, unobserved_binary, _ = render_topdown(
+            self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
+        )
+        response = {
+            "free_map": free_binary,
+            "visible_map": unobserved_binary,
+        }
+        if arrived_flag and self.last_frame is not None:
+            # horizon = AABB of the current frame's valid-depth cloud
+            # (visualizer.py:1392-1399)
+            from activesplat_tpu.mapper.geometry import backproject
+
+            import jax.numpy as jnp
+
+            depth = self.last_frame["depth"]
+            c2w = self.last_frame["c2w"]
+            s = self.dataset.sensor
+            pts = np.asarray(
+                backproject(
+                    jnp.asarray(depth), s.fx, s.fy, s.cx, s.cy,
+                    jnp.asarray(c2w, jnp.float32),
+                )
+            )
+            pts = pts[depth.reshape(-1) > 0]
+            if len(pts) == 0:
+                pts = c2w[None, :3, 3]
+            response["horizon_bound_min"] = pts.min(0)
+            response["horizon_bound_max"] = pts.max(0)
+        return response
+
+    def _get_opacity(self, arrived_flag: bool, nodes=None, nodes_id=None):
+        """Global (per-node panorama scores) or local (reorientation) query
+        (visualizer.py:2180-2221 + splatam/__init__.py:697-838)."""
+        if self.global_state == GlobalState.QUIT or self.last_frame is None:
+            return None
+        view_c2w = np.asarray(self.last_frame["c2w"], np.float64)
+        if arrived_flag:
+            positions = np.asarray(nodes, np.float64).reshape(-1, 3)
+            scores = self.mapper.get_global_invisibility(view_c2w, positions)
+            return {
+                "targets_frustums_invisibility": [s[0] for s in scores],
+                "targets_frustums_volume": [s[1] for s in scores],
+                "nodes_id": list(nodes_id) if nodes_id is not None else [],
+            }
+        total, best_pose, _ = self.mapper.get_local_invisibility(view_c2w)
+        frustums = [best_pose]  # None means no proposal (reference Pose() zero)
+        if self.mapper.high_loss_samples_pose_c2w is not None:
+            frustums.append(self.mapper.high_loss_samples_pose_c2w)
+        return {
+            "targets_frustums": frustums,
+            "targets_frustums_invisibility": [total],
+            "targets_frustums_volume": [0.0],
+        }
+
+    def _set_mapper(self, kf_every: int = 0, map_every: int = 0) -> Dict[str, int]:
+        old = {
+            "kf_every_old": self.mapper.get_kf_every(),
+            "map_every_old": self.mapper.get_map_every(),
+        }
+        if map_every:
+            self.mapper.set_map_every(map_every)
+        if kf_every:
+            self.mapper.set_kf_every(kf_every)
+        return old
+
+    def _reset_env(self):
+        self.dataset.reset()
+        self.movement_fail_times = 0
+        return True

@@ -1,0 +1,114 @@
+"""Benchmark: online mapping iterations/sec on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured quantity matches the reference's headline runtime number — the
+average per-iteration mapping time it prints at shutdown
+(splatam/__init__.py:545-552: "Average Mapping/Iteration Time"). One
+iteration = fused multi-channel render (the reference's two rasterizer
+passes) + loss + backward + per-group Adam step at the benchmark sensor
+resolution (256x256, config/env/activesplat_pointnav.yaml:33-50) against a
+realistically sized map.
+
+Baseline: the reference publishes no numbers (BASELINE.md); SplaTAM-class
+mappers on an RTX 3090 at this resolution run ~30 ms/iteration (~33 it/s).
+vs_baseline = measured_iters_per_sec / 33.3; the BASELINE.json north star
+asks for >= 2.0 here.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_map(n_gaussians: int, width: int, height: int, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from activesplat_tpu.mapper.config import MapperConfig
+    from activesplat_tpu.models.gaussians import (
+        GaussianBuffer,
+        GaussianParams,
+        make_camera,
+    )
+    from activesplat_tpu.runtime.synthetic import BoxWorld
+
+    world = BoxWorld.two_room(seed=seed)
+    pts = world.sample_surface(n_gaussians, seed=seed).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    capacity = 1 << int(np.ceil(np.log2(n_gaussians)))
+    buf = GaussianBuffer.empty(capacity)
+    params = GaussianParams(
+        means3d=buf.params.means3d.at[:n_gaussians].set(jnp.asarray(pts)),
+        rgb=buf.params.rgb.at[:n_gaussians].set(
+            jnp.asarray(rng.uniform(0, 1, (n_gaussians, 3)), jnp.float32)
+        ),
+        quats=buf.params.quats,
+        logit_opacities=buf.params.logit_opacities.at[:n_gaussians].set(2.0),
+        log_scales=buf.params.log_scales.at[:n_gaussians].set(
+            jnp.asarray(
+                rng.uniform(np.log(0.01), np.log(0.05), (n_gaussians, 3)),
+                jnp.float32,
+            )
+        ),
+    )
+    buf = buf.replace(params=params, active=buf.active.at[:n_gaussians].set(True))
+
+    fx = 0.5 * width / np.tan(np.deg2rad(45.0))
+    intr = np.array([[fx, 0, width / 2 - 1], [0, fx, height / 2 - 1], [0, 0, 1]])
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [5.0, 1.25, 1.5]
+    rgb, depth = world.render(c2w, intr, width, height)
+    cam = make_camera(width, height, intr, np.linalg.inv(c2w))
+    cfg = MapperConfig(
+        chunk=int(os.environ.get("BENCH_CHUNK", 512)),
+        k_per_tile=int(os.environ.get("BENCH_K_PER_TILE", 256)),
+    )
+    return buf, cam, jnp.asarray(rgb), jnp.asarray(depth), cfg
+
+
+def main():
+    import jax
+
+    n_gaussians = int(os.environ.get("BENCH_GAUSSIANS", 200_000))
+    width = height = int(os.environ.get("BENCH_RES", 256))
+    iters_timed = int(os.environ.get("BENCH_ITERS", 30))
+
+    from activesplat_tpu.mapper.adam import AdamState
+    from activesplat_tpu.mapper.step import mapping_iteration
+
+    buf, cam, rgb, depth, cfg = build_map(n_gaussians, width, height)
+    opt = AdamState.init(buf.params)
+
+    # warmup / compile (sync via a value fetch: block_until_ready does not
+    # reliably synchronize through the tunneled-TPU relay)
+    buf_w, opt_w, metrics = mapping_iteration(buf, opt, cam, rgb, depth, cfg)
+    float(np.asarray(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    b, o = buf, opt
+    for _ in range(iters_timed):
+        b, o, metrics = mapping_iteration(b, o, cam, rgb, depth, cfg)
+    float(np.asarray(metrics["loss"]))  # forces the full dependency chain
+    dt = time.perf_counter() - t0
+    iters_per_sec = iters_timed / dt
+
+    baseline_iters_per_sec = 33.3  # RTX 3090 SplaTAM-class proxy (see module doc)
+    print(
+        json.dumps(
+            {
+                "metric": f"mapping_iters_per_sec@{n_gaussians}g_{width}px",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_sec / baseline_iters_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

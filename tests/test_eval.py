@@ -1,0 +1,113 @@
+"""Evaluation judges: coverage replay + quality metrics."""
+
+import os
+
+import numpy as np
+
+from activesplat_tpu.eval.metrics import (
+    ate_rmse,
+    depth_metrics,
+    ms_ssim,
+    psnr,
+    ssim,
+)
+from activesplat_tpu.eval.replay import eval_actions
+from activesplat_tpu.runtime.dataloader import RGBDSensor, SimAction, SyntheticDataset
+from activesplat_tpu.runtime.synthetic import BoxWorld
+
+
+def test_metrics_identity(rng):
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert psnr(img, img) > 60
+    assert abs(ssim(img, img) - 1.0) < 1e-5
+    assert ms_ssim(img, img) > 0.999
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(np.float32)
+    assert psnr(img, noisy) < 30
+    assert ssim(img, noisy) < 0.98
+
+
+def test_depth_metrics():
+    gt = np.array([[1.0, 2.0], [0.0, 3.0]])
+    pred = np.array([[1.1, 2.0], [5.0, 2.5]])
+    l1, rmse = depth_metrics(pred, gt)
+    np.testing.assert_allclose(l1, (0.1 + 0.0 + 0.5) / 3, atol=1e-6)
+    assert rmse >= l1
+
+
+def test_ate_rmse_alignment():
+    rng = np.random.default_rng(0)
+    gt = np.tile(np.eye(4), (20, 1, 1))
+    gt[:, :3, 3] = rng.uniform(-3, 3, (20, 3))
+    # rigidly transformed estimate -> ATE ~ 0
+    theta = 0.7
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0],
+            [np.sin(theta), np.cos(theta), 0],
+            [0, 0, 1],
+        ]
+    )
+    est = gt.copy()
+    est[:, :3, 3] = gt[:, :3, 3] @ rot.T + np.array([1.0, -2.0, 0.5])
+    assert ate_rmse(est, gt) < 1e-9
+
+
+def make_dataset(results_dir, step_num=40):
+    world = BoxWorld.single_room(seed=5)
+    sensor = RGBDSensor.from_fov(32, 32, 90.0, depth_min=0.0, depth_max=10.0)
+    return SyntheticDataset(
+        world,
+        sensor,
+        step_num=step_num,
+        start_position=np.array([3.0, 0.0, 3.0]),
+        turn_angle_deg=30.0,
+        results_dir=results_dir,
+    )
+
+
+def test_coverage_judge(tmp_path):
+    results_dir = str(tmp_path)
+    dataset = make_dataset(results_dir)
+    # scripted trajectory: spin + advance
+    for _ in range(12):
+        dataset.step(SimAction.TURN_LEFT)
+    for _ in range(20):
+        dataset.step(SimAction.MOVE_FORWARD)
+    dataset.close()
+
+    replay = make_dataset(None)
+    report = eval_actions(
+        replay,
+        os.path.join(results_dir, "actions.txt"),
+        num_gt_samples=20000,
+        frame_stride=2,
+    )
+    assert 0.0 < report.completeness < 2.0
+    assert 0.0 < report.completeness_ratio <= 1.0
+    assert report.accuracy < 0.2  # backprojected GT depth lies on surfaces
+    np.testing.assert_allclose(report.path_length, 20 * 0.065, atol=1e-9)
+    # a full spin at room center must see most of the room
+    assert report.completeness_ratio > 0.1, report  # sparse 32x32 test frames
+
+
+def test_coverage_monotone(tmp_path):
+    """More exploration -> better coverage."""
+    short_dir = str(tmp_path / "short")
+    long_dir = str(tmp_path / "long")
+    d1 = make_dataset(short_dir)
+    for _ in range(3):
+        d1.step(SimAction.TURN_LEFT)
+    d1.close()
+    d2 = make_dataset(long_dir)
+    for _ in range(12):
+        d2.step(SimAction.TURN_LEFT)
+    d2.close()
+    r1 = eval_actions(
+        make_dataset(None), os.path.join(short_dir, "actions.txt"),
+        num_gt_samples=10000, frame_stride=2,
+    )
+    r2 = eval_actions(
+        make_dataset(None), os.path.join(long_dir, "actions.txt"),
+        num_gt_samples=10000, frame_stride=2,
+    )
+    assert r2.completeness_ratio > r1.completeness_ratio

@@ -1,0 +1,119 @@
+"""Tile-binned rasterizer vs the dense chunked rasterizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from activesplat_tpu.models.gaussians import make_camera
+from activesplat_tpu.ops.projection import project_gaussians
+from activesplat_tpu.ops.raster_tiled import bin_gaussians, rasterize_tiled_sorted
+from activesplat_tpu.ops.raster_xla import depth_sort, rasterize_sorted
+from tests.reference_impl import random_scene
+
+W, H = 64, 48
+FX = FY = 40.0
+CX, CY = W / 2 - 1, H / 2 - 1
+
+
+def project_scene(scene):
+    proj = jax.jit(project_gaussians, static_argnames=("width", "height"))(
+        jnp.asarray(scene["means3d"]),
+        jnp.asarray(scene["quats"]),
+        jnp.asarray(scene["log_scales"]),
+        jnp.asarray(scene["active"]),
+        jnp.eye(4),
+        FX,
+        FY,
+        CX,
+        CY,
+        W,
+        H,
+    )
+    opac = jax.nn.sigmoid(jnp.asarray(scene["logit_opacities"]))
+    z = proj.depth
+    channels = jnp.concatenate(
+        [jnp.asarray(scene["rgb"]), z[:, None], (z * z)[:, None]], -1
+    )
+    return depth_sort(
+        z, proj.valid, proj.mean2d, proj.conic, opac, channels, proj.radius
+    )
+
+
+def test_tiled_exact_when_uncapped(rng):
+    """With radius covering the whole frame and k >= N, the tiled blend must
+    reproduce the dense blend exactly (same math, same order)."""
+    scene = random_scene(rng, 120)
+    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
+    accum_d, logt_d = rasterize_sorted(
+        mean2d, conic, opac, channels, valid, width=W, height=H, chunk=32
+    )
+    big_radius = jnp.full_like(radius, float(max(W, H) * 2))
+    accum_t, logt_t, dropped = rasterize_tiled_sorted(
+        mean2d,
+        conic,
+        opac,
+        channels,
+        valid,
+        big_radius,
+        width=W,
+        height=H,
+        k_per_tile=128,
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(accum_t), np.asarray(accum_d), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logt_t), np.asarray(logt_d), atol=2e-5)
+
+
+def test_tiled_close_with_real_radius(rng):
+    """With true 3-sigma radii, tile culling only drops sub-1/255-ish tails."""
+    scene = random_scene(rng, 200)
+    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
+    accum_d, logt_d = rasterize_sorted(
+        mean2d, conic, opac, channels, valid, width=W, height=H, chunk=64
+    )
+    accum_t, logt_t, dropped = rasterize_tiled_sorted(
+        mean2d, conic, opac, channels, valid, radius,
+        width=W, height=H, k_per_tile=256,
+    )
+    assert int(dropped) == 0
+    diff = np.abs(np.asarray(accum_t) - np.asarray(accum_d))
+    assert np.quantile(diff, 0.99) < 2e-2, np.quantile(diff, 0.99)
+
+
+def test_k_cap_drops_far_gaussians(rng):
+    scene = random_scene(rng, 300)
+    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
+    _, _, dropped = rasterize_tiled_sorted(
+        mean2d, conic, opac, channels, valid, radius,
+        width=W, height=H, k_per_tile=8,
+    )
+    assert int(dropped) > 0
+
+
+def test_bin_gaussians_membership(rng):
+    # one gaussian squarely inside one tile
+    mean2d = jnp.array([[24.0, 24.0], [100.0, 100.0]])
+    radius = jnp.array([2.0, 2.0])
+    valid = jnp.array([True, False])
+    lists = bin_gaussians(mean2d, radius, valid, 64, 48, k_per_tile=4)
+    counts = np.asarray(lists.count).reshape(3, 4)  # tiles_y=3, tiles_x=4
+    assert counts[1, 1] == 1  # tile covering (24, 24)
+    assert counts.sum() == 1  # invalid gaussian binned nowhere
+    assert int(lists.indices[1 * 4 + 1, 0]) == 0
+
+
+def test_tiled_gradients(rng):
+    scene = random_scene(rng, 60)
+    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
+
+    def loss_fn(m2d, con, op, ch):
+        accum, logt, _ = rasterize_tiled_sorted(
+            m2d, con, op, ch, valid, radius, width=W, height=H, k_per_tile=64
+        )
+        return jnp.sum(accum**2) + jnp.sum(logt)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(mean2d, conic, opac, channels)
+    for g in grads:
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+    assert np.abs(np.asarray(grads[2])).max() > 0
