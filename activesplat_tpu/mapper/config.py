@@ -52,7 +52,7 @@ class MapperConfig:
     # rasterizer: chunk size for the dense path; k_per_tile > 0 switches to
     # the tile-binned production rasterizer (ops/raster_tiled.py)
     chunk: int = 256
-    k_per_tile: int = 0
+    k_per_tile: int = 256
     # adam
     adam_b1: float = 0.9
     adam_b2: float = 0.999

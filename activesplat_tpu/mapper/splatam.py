@@ -89,6 +89,7 @@ class SplaTAMMapper:
         self.mapping_frame_time_sum = 0.0
         self.mapping_frame_time_count = 0
         self.last_metrics: Dict[str, float] = {}
+        self.online_metrics: List[Dict[str, float]] = []
         self.high_loss_samples_pose_c2w: Optional[np.ndarray] = None
 
         self.dumper: Optional[DatasetDumper] = None
@@ -237,6 +238,9 @@ class SplaTAMMapper:
                 "psnr": float(np.asarray(metrics["psnr"])[-1]),
                 "depth_l1": float(np.asarray(metrics["depth_l1"])[-1]),
             }
+            # online progress record (role of report_progress + the
+            # online_psnr.txt summaries, eval_helpers.py:153-277, 370-402)
+            self.online_metrics.append({"frame": frame_id, **self.last_metrics})
 
         # Keyframe commit (splatam/__init__.py:514-524).
         if (
@@ -295,8 +299,23 @@ class SplaTAMMapper:
         )
         if self.dumper is not None:
             self.dumper.write()
+        if self.online_metrics:
+            with open(os.path.join(out_dir, "online_psnr.txt"), "w") as fh:
+                fh.writelines(f"{m['psnr']}\n" for m in self.online_metrics)
+            with open(os.path.join(out_dir, "online_depth_l1.txt"), "w") as fh:
+                fh.writelines(f"{m['depth_l1']}\n" for m in self.online_metrics)
         print("Saved SplaTAM results to:", out_dir)
         return path
+
+    def load_map(self, params_path: str) -> None:
+        """Resume from a saved params.npz (the load_checkpoint knob the
+        reference declares but never wires, online_habitat_sim.py:10-11 —
+        here it works): restores the Gaussian buffer; trajectory bookkeeping
+        restarts from the next fed frame."""
+        from activesplat_tpu.io.params_io import buffer_from_params, load_params
+
+        params = load_params(params_path)
+        self.buf = buffer_from_params(params, capacity=self.cfg.initial_capacity)
 
     # ------------------------------------------------------------------ #
     # map-query renders (L3): panoramic invisibility + view renders
@@ -305,6 +324,8 @@ class SplaTAMMapper:
         """Render the map from a pose: (rgb uint8 (H,W,3), depth meters (H,W))
         (render_rgbd semantics, splatam/__init__.py:604-632; white bg for the
         color channel as in render(), splatam.py:413-434)."""
+        from activesplat_tpu.ops.render import forward_backend
+
         cam = self._camera(np.linalg.inv(c2w))
         out = render_jit(
             self.buf,
@@ -312,6 +333,8 @@ class SplaTAMMapper:
             bg=jnp.ones(3),
             scale_modifier=scale_modifier,
             chunk=self.cfg.chunk,
+            k_per_tile=self.cfg.k_per_tile,
+            backend=forward_backend(),
         )
         rgb = (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
         return rgb, np.asarray(out.depth)
@@ -322,12 +345,16 @@ class SplaTAMMapper:
         """Full-channel view render for GUI/topdown consumers
         (render_o3d_image role, splatam/__init__.py:634-695). Returns dict
         with rgb (float), depth, opacity."""
+        from activesplat_tpu.ops.render import forward_backend
+
         out = render_jit(
             self.buf,
             cam,
             bg=jnp.ones(3),
             scale_modifier=scale_modifier,
             chunk=self.cfg.chunk,
+            k_per_tile=self.cfg.k_per_tile,
+            backend=forward_backend(),
         )
         return {
             "rgb": np.asarray(out.rgb),
@@ -380,8 +407,16 @@ class SplaTAMMapper:
 
         from activesplat_tpu.utils.transforms import rot_axis
 
+        from activesplat_tpu.ops.render import forward_backend
+
         cam = self._camera(np.linalg.inv(c2w))
-        out = render_jit(self.buf, cam, chunk=self.cfg.chunk)
+        out = render_jit(
+            self.buf,
+            cam,
+            chunk=self.cfg.chunk,
+            k_per_tile=self.cfg.k_per_tile,
+            backend=forward_backend(),
+        )
         depth = np.asarray(out.depth)
         opacity = np.asarray(out.alpha)
         depth_error = np.abs(depth - depth_gt) * (depth_gt > 0)

@@ -211,7 +211,15 @@ def densify_phase(
     splatam.py:332-379): pixels the map does not yet explain become new
     Gaussians, written into free buffer slots. Returns
     (buf, num_dropped, num_inserted)."""
-    out = render(buf, cam, chunk=cfg.chunk, k_per_tile=cfg.k_per_tile)
+    from activesplat_tpu.ops.render import forward_backend
+
+    out = render(
+        buf,
+        cam,
+        chunk=cfg.chunk,
+        k_per_tile=cfg.k_per_tile,
+        backend=forward_backend() if cfg.k_per_tile else "xla",
+    )
     sil = out.alpha
     depth_error = jnp.abs(depth_gt - out.depth) * (depth_gt > 0)
     med = jnp.median(depth_error)

@@ -156,45 +156,68 @@ def _prefix_buckets(n: int, smallest: int = 4096) -> Tuple[int, ...]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "k_per_tile")
+    jax.jit, static_argnames=("width", "height", "k_per_tile", "backend")
 )
-def rasterize_tiled_sorted(
-    mean2d: jnp.ndarray,  # (N, 2) depth-sorted
+def rasterize_tiled(
+    mean2d: jnp.ndarray,  # (N, 2) UNSORTED (projection order)
     conic: jnp.ndarray,
     opacity: jnp.ndarray,
     colors: jnp.ndarray,  # (N, C)
     valid: jnp.ndarray,
     radius: jnp.ndarray,
+    depth: jnp.ndarray,  # (N,)
     *,
     width: int,
     height: int,
-    k_per_tile: int = 1024,
+    k_per_tile: int = 256,
+    backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Tile-binned front-to-back compositing over pre-sorted Gaussians.
+    """Tile-binned front-to-back compositing.
 
-    Because the input is depth-sorted with invalid entries last, all visible
-    Gaussians occupy a prefix. A `lax.switch` over static prefix buckets
-    (x4 steps) makes binning/blending cost scale with the *visible* count
-    instead of the buffer capacity — XLA's answer to dynamic shapes.
+    Memory-traffic-shaped for TPU: the ONLY full-capacity gather is a single
+    packed stop-gradient (N, 4) [mean_x, mean_y, radius, valid] used for
+    binning (indices carry no gradient, so its transpose scatter-add is
+    eliminated); the blend gathers per-tile rows directly from the UNSORTED
+    differentiable arrays through composed indices (order[tile_list]).
+    Depth-sorting the full per-Gaussian payload — and scatter-adding its
+    gradient back — would dominate the whole iteration otherwise.
+
+    Visible Gaussians form a prefix of the sorted order, so a `lax.switch`
+    over static prefix buckets (x4 steps) scales cost with the visible count
+    rather than buffer capacity.
+
+    backend="pallas" runs the blend in the fused Pallas kernel
+    (ops/raster_pallas.py: everything VMEM-resident + early termination on
+    tile saturation) — FORWARD-ONLY, for map queries and densification;
+    "xla" is the differentiable training path.
 
     Returns (accum (H*W, C), log_transmittance (H*W,), dropped ()).
     """
     n = mean2d.shape[0]
+    key = jnp.where(valid, depth, jnp.inf)
+    order = jax.lax.stop_gradient(jnp.argsort(key)).astype(jnp.int32)
+    packed = jax.lax.stop_gradient(
+        jnp.stack(
+            [mean2d[:, 0], mean2d[:, 1], radius, valid.astype(mean2d.dtype)], -1
+        )
+    )[order]  # (N, 4) — the single sorted gather
+
     n_valid = jnp.sum(valid.astype(jnp.int32))
     buckets = _prefix_buckets(n)
 
     def branch(b):
         def run():
             return _rasterize_tiled_prefix(
-                mean2d[:b],
-                conic[:b],
-                opacity[:b],
-                colors[:b],
-                valid[:b],
-                radius[:b],
+                packed[:b],
+                order,
+                mean2d,
+                conic,
+                opacity,
+                colors,
                 width=width,
                 height=height,
                 k_per_tile=min(k_per_tile, b),
+                backend=backend,
             )
 
         return run
@@ -204,24 +227,33 @@ def rasterize_tiled_sorted(
 
 
 def _rasterize_tiled_prefix(
+    packed,  # (B, 4) sorted [mx, my, radius, valid]
+    order,  # (N,) sorted -> original index map
     mean2d,
     conic,
     opacity,
     colors,
-    valid,
-    radius,
     *,
     width: int,
     height: int,
     k_per_tile: int,
+    backend: str = "xla",
 ):
     n = mean2d.shape[0]
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
 
-    lists = bin_gaussians(mean2d, radius, valid, width, height, k_per_tile)
+    b = packed.shape[0]
+    lists = bin_gaussians(
+        packed[:, :2], packed[:, 2], packed[:, 3] > 0, width, height, k_per_tile
+    )
+    # map sorted-order list entries to original Gaussian ids; bin padding (b)
+    # becomes the blend padding row (n)
+    global_ids = jnp.where(
+        lists.indices >= b, n, order[jnp.minimum(lists.indices, n - 1)]
+    )
 
-    # padding row: index N reads zeros / harmless values
+    # padding row: index n reads zeros / harmless values
     pad_mean = jnp.concatenate([mean2d, jnp.full((1, 2), -1e9, mean2d.dtype)], 0)
     pad_conic = jnp.concatenate([conic, jnp.ones((1, 3), conic.dtype)], 0)
     pad_op = jnp.concatenate([opacity, jnp.zeros((1,), opacity.dtype)], 0)
@@ -236,12 +268,41 @@ def _rasterize_tiled_prefix(
     lx = local % TILE
     ly = local // TILE
 
-    def tile_fn(ids, u0, v0):
-        px = u0.astype(mean2d.dtype) + lx
-        py = v0.astype(mean2d.dtype) + ly
-        return _blend_tile(ids, pad_mean, pad_conic, pad_op, pad_col, px, py)
+    if backend == "pallas":
+        import jax as _jax
 
-    accum_t, logt_t = jax.vmap(tile_fn)(lists.indices, tile_u0, tile_v0)
+        from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles_pallas
+
+        assert k_per_tile % SEG == 0, (
+            f"pallas backend needs k_per_tile % {SEG} == 0, got {k_per_tile}"
+        )
+        c_dim_in = colors.shape[1]
+        data = jnp.concatenate(
+            [
+                pad_mean,
+                pad_conic,
+                pad_op[:, None],
+                pad_col,
+                jnp.zeros((n + 1, 16 - 6 - c_dim_in), mean2d.dtype),
+            ],
+            -1,
+        )  # (N+1, 16)
+        tile_data = data[global_ids]  # (T, K, 16) — one gather
+        accum_t, logt_t = blend_tiles_pallas(
+            tile_data,
+            tile_u0.astype(jnp.int32),
+            tile_v0.astype(jnp.int32),
+            n_channels=c_dim_in,
+            interpret=_jax.default_backend() != "tpu",
+        )
+    else:
+
+        def tile_fn(ids, u0, v0):
+            px = u0.astype(mean2d.dtype) + lx
+            py = v0.astype(mean2d.dtype) + ly
+            return _blend_tile(ids, pad_mean, pad_conic, pad_op, pad_col, px, py)
+
+        accum_t, logt_t = jax.vmap(tile_fn)(global_ids, tile_u0, tile_v0)
     # (T, TILE*TILE, C) -> (H_pad, W_pad, C) -> crop -> (H*W, C)
     c_dim = colors.shape[1]
     accum_img = (

@@ -35,6 +35,12 @@ class RenderOutput(NamedTuple):
     valid: jnp.ndarray  # (C,) bool in input order
 
 
+def forward_backend() -> str:
+    """Blend backend for forward-only (no-gradient) renders: the fused Pallas
+    kernel on TPU, the differentiable XLA blend elsewhere."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def render_projected(
     proj: Projected,
     rgb: jnp.ndarray,
@@ -43,6 +49,7 @@ def render_projected(
     bg: Optional[jnp.ndarray] = None,
     chunk: int = 128,
     k_per_tile: int = 0,
+    backend: str = "xla",
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
@@ -61,25 +68,26 @@ def render_projected(
         [rgb, depth_ch[:, None], (depth_ch * depth_ch)[:, None]], axis=-1
     )  # (C, 5)
 
-    _, s_valid, s_mean2d, s_conic, s_opacity, s_channels, s_radius = depth_sort(
-        proj.depth, proj.valid, proj.mean2d, proj.conic, opacities, channels,
-        proj.radius,
-    )
     if k_per_tile > 0:
-        from activesplat_tpu.ops.raster_tiled import rasterize_tiled_sorted
+        from activesplat_tpu.ops.raster_tiled import rasterize_tiled
 
-        accum, log_t, _ = rasterize_tiled_sorted(
-            s_mean2d,
-            s_conic,
-            s_opacity,
-            s_channels,
-            s_valid,
-            s_radius,
+        accum, log_t, _ = rasterize_tiled(
+            proj.mean2d,
+            proj.conic,
+            opacities,
+            channels,
+            proj.valid,
+            proj.radius,
+            proj.depth,
             width=cam.width,
             height=cam.height,
             k_per_tile=k_per_tile,
+            backend=backend,
         )
     else:
+        _, s_valid, s_mean2d, s_conic, s_opacity, s_channels = depth_sort(
+            proj.depth, proj.valid, proj.mean2d, proj.conic, opacities, channels
+        )
         accum, log_t = rasterize_sorted(
             s_mean2d,
             s_conic,
@@ -116,6 +124,7 @@ def render(
     chunk: int = 128,
     active_override: Optional[jnp.ndarray] = None,
     k_per_tile: int = 0,
+    backend: str = "xla",
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 
@@ -143,10 +152,17 @@ def render(
     )
     opacities = jax.nn.sigmoid(params.logit_opacities)
     return render_projected(
-        proj, params.rgb, opacities, cam, bg=bg, chunk=chunk, k_per_tile=k_per_tile
+        proj,
+        params.rgb,
+        opacities,
+        cam,
+        bg=bg,
+        chunk=chunk,
+        k_per_tile=k_per_tile,
+        backend=backend,
     )
 
 
 # Compiled entry point: Camera's width/height are pytree metadata, so one
 # compilation serves all poses/intrinsics at a given resolution.
-render_jit = jax.jit(render, static_argnames=("chunk", "k_per_tile"))
+render_jit = jax.jit(render, static_argnames=("chunk", "k_per_tile", "backend"))

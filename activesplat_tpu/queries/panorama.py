@@ -56,10 +56,19 @@ def _render_views(
     buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256, scale: float = 1.0
 ):
     """Batched render of (M, 4, 4) w2cs -> stacked (M, H, W) outputs."""
+    from activesplat_tpu.ops.render import forward_backend
+
     cam = _pano_camera_template(scale)
+    backend = forward_backend()
 
     def one(w2c):
-        out = render(buf, dataclasses.replace(cam, w2c=w2c), chunk=chunk)
+        out = render(
+            buf,
+            dataclasses.replace(cam, w2c=w2c),
+            chunk=chunk,
+            k_per_tile=256 if backend == "pallas" else 0,
+            backend=backend,
+        )
         return out.rgb, out.depth, out.alpha
 
     return jax.vmap(one)(w2cs)

@@ -163,6 +163,7 @@ def render_topdown(
     cfg: TopdownConfig,
     foot_adjust: float = 0.0,
     chunk: int = 256,
+    k_per_tile: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (free_map_binary uint8 (H, W), unobserved_map_binary uint8,
     free_opacity float) — the payloads of the get_topdown service
@@ -173,14 +174,19 @@ def render_topdown(
     where *nothing* has ever been mapped (the reference's
     'visible_map_binary': pure-white pixels of a white-bg color render).
     """
+    from activesplat_tpu.ops.render import forward_backend
+
     cam = topdown_camera(cfg)
     sliced = height_slice_mask(buf, cfg, foot_adjust)
+    backend = forward_backend()
     free = render_jit(
         buf,
         cam,
         scale_modifier=TOPDOWN_SCALE_MODIFIER,
         chunk=chunk,
         active_override=sliced,
+        k_per_tile=k_per_tile,
+        backend=backend,
     )
     full = render_jit(
         buf,
@@ -188,6 +194,8 @@ def render_topdown(
         bg=jnp.ones(3),
         scale_modifier=TOPDOWN_SCALE_MODIFIER,
         chunk=chunk,
+        k_per_tile=k_per_tile,
+        backend=backend,
     )
     free_opacity = np.asarray(free.alpha)
     free_binary = (free_opacity <= FREE_OPACITY_THRESHOLD).astype(np.uint8)

@@ -4,9 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from activesplat_tpu.models.gaussians import make_camera
 from activesplat_tpu.ops.projection import project_gaussians
-from activesplat_tpu.ops.raster_tiled import bin_gaussians, rasterize_tiled_sorted
+from activesplat_tpu.ops.raster_tiled import bin_gaussians, rasterize_tiled
 from activesplat_tpu.ops.raster_xla import depth_sort, rasterize_sorted
 from tests.reference_impl import random_scene
 
@@ -34,8 +33,31 @@ def project_scene(scene):
     channels = jnp.concatenate(
         [jnp.asarray(scene["rgb"]), z[:, None], (z * z)[:, None]], -1
     )
-    return depth_sort(
-        z, proj.valid, proj.mean2d, proj.conic, opac, channels, proj.radius
+    return proj, opac, channels
+
+
+def dense_reference(proj, opac, channels, chunk=64):
+    _, s_valid, s_mean2d, s_conic, s_opac, s_channels = depth_sort(
+        proj.depth, proj.valid, proj.mean2d, proj.conic, opac, channels
+    )
+    return rasterize_sorted(
+        s_mean2d, s_conic, s_opac, s_channels, s_valid, width=W, height=H, chunk=chunk
+    )
+
+
+def run_tiled(proj, opac, channels, radius=None, k=128):
+    radius = proj.radius if radius is None else radius
+    return rasterize_tiled(
+        proj.mean2d,
+        proj.conic,
+        opac,
+        channels,
+        proj.valid,
+        radius,
+        proj.depth,
+        width=W,
+        height=H,
+        k_per_tile=k,
     )
 
 
@@ -43,22 +65,10 @@ def test_tiled_exact_when_uncapped(rng):
     """With radius covering the whole frame and k >= N, the tiled blend must
     reproduce the dense blend exactly (same math, same order)."""
     scene = random_scene(rng, 120)
-    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
-    accum_d, logt_d = rasterize_sorted(
-        mean2d, conic, opac, channels, valid, width=W, height=H, chunk=32
-    )
-    big_radius = jnp.full_like(radius, float(max(W, H) * 2))
-    accum_t, logt_t, dropped = rasterize_tiled_sorted(
-        mean2d,
-        conic,
-        opac,
-        channels,
-        valid,
-        big_radius,
-        width=W,
-        height=H,
-        k_per_tile=128,
-    )
+    proj, opac, channels = project_scene(scene)
+    accum_d, logt_d = dense_reference(proj, opac, channels, chunk=32)
+    big_radius = jnp.full_like(proj.radius, float(max(W, H) * 2))
+    accum_t, logt_t, dropped = run_tiled(proj, opac, channels, big_radius, k=128)
     assert int(dropped) == 0
     np.testing.assert_allclose(np.asarray(accum_t), np.asarray(accum_d), atol=2e-5)
     np.testing.assert_allclose(np.asarray(logt_t), np.asarray(logt_d), atol=2e-5)
@@ -67,14 +77,9 @@ def test_tiled_exact_when_uncapped(rng):
 def test_tiled_close_with_real_radius(rng):
     """With true 3-sigma radii, tile culling only drops sub-1/255-ish tails."""
     scene = random_scene(rng, 200)
-    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
-    accum_d, logt_d = rasterize_sorted(
-        mean2d, conic, opac, channels, valid, width=W, height=H, chunk=64
-    )
-    accum_t, logt_t, dropped = rasterize_tiled_sorted(
-        mean2d, conic, opac, channels, valid, radius,
-        width=W, height=H, k_per_tile=256,
-    )
+    proj, opac, channels = project_scene(scene)
+    accum_d, logt_d = dense_reference(proj, opac, channels)
+    accum_t, logt_t, dropped = run_tiled(proj, opac, channels, k=256)
     assert int(dropped) == 0
     diff = np.abs(np.asarray(accum_t) - np.asarray(accum_d))
     assert np.quantile(diff, 0.99) < 2e-2, np.quantile(diff, 0.99)
@@ -82,11 +87,8 @@ def test_tiled_close_with_real_radius(rng):
 
 def test_k_cap_drops_far_gaussians(rng):
     scene = random_scene(rng, 300)
-    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
-    _, _, dropped = rasterize_tiled_sorted(
-        mean2d, conic, opac, channels, valid, radius,
-        width=W, height=H, k_per_tile=8,
-    )
+    proj, opac, channels = project_scene(scene)
+    _, _, dropped = run_tiled(proj, opac, channels, k=8)
     assert int(dropped) > 0
 
 
@@ -104,15 +106,18 @@ def test_bin_gaussians_membership(rng):
 
 def test_tiled_gradients(rng):
     scene = random_scene(rng, 60)
-    _, valid, mean2d, conic, opac, channels, radius = project_scene(scene)
+    proj, opac, channels = project_scene(scene)
 
     def loss_fn(m2d, con, op, ch):
-        accum, logt, _ = rasterize_tiled_sorted(
-            m2d, con, op, ch, valid, radius, width=W, height=H, k_per_tile=64
+        accum, logt, _ = rasterize_tiled(
+            m2d, con, op, ch, proj.valid, proj.radius, proj.depth,
+            width=W, height=H, k_per_tile=64,
         )
         return jnp.sum(accum**2) + jnp.sum(logt)
 
-    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(mean2d, conic, opac, channels)
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(
+        proj.mean2d, proj.conic, opac, channels
+    )
     for g in grads:
         g = np.asarray(g)
         assert np.all(np.isfinite(g))
