@@ -48,8 +48,16 @@ def mapping_loss(
     One fused render supplies rgb/depth/silhouette (the reference issues two
     rasterizer passes, splatam.py:208-212).
     """
+    from activesplat_tpu.ops.render import forward_backend
+
+    # the Pallas blend has an analytic custom VJP, so the training render can
+    # use it too (resolved at trace time; XLA blend on CPU)
     out = render(
-        buf.replace(params=params), cam, chunk=cfg.chunk, k_per_tile=cfg.k_per_tile
+        buf.replace(params=params),
+        cam,
+        chunk=cfg.chunk,
+        k_per_tile=cfg.k_per_tile,
+        backend=forward_backend() if cfg.k_per_tile else "xla",
     )
 
     mask = depth_gt > 0

@@ -97,6 +97,192 @@ def _blend_kernel(data_ref, u0_ref, v0_ref, accum_ref, logt_ref, n_channels: int
     logt_ref[0, :, :] = logt
 
 
+def _prefix_scan_exclusive(x: jnp.ndarray) -> jnp.ndarray:
+    inc = _prefix_scan_inclusive(x)
+    return inc - x
+
+
+def _suffix_scan_exclusive(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive suffix sum along axis 0: out[k] = sum_{j>k} x[j]
+    (total - inclusive prefix; Mosaic has no `rev` lowering)."""
+    total = jnp.sum(x, axis=0, keepdims=True)
+    return total - _prefix_scan_inclusive(x)
+
+
+def _blend_bwd_kernel(
+    data_ref,  # (1, K, N_ATTR)
+    u0_ref,  # (T,) SMEM
+    v0_ref,
+    g_accum_ref,  # (1, PX, 8)
+    g_logt_ref,  # (1, 1, PX)
+    d_data_ref,  # (1, K, N_ATTR) output
+    entry_ref,  # (n_seg, PX) VMEM scratch: per-segment entry log-transmittance
+    *,
+    n_channels: int,
+):
+    """Analytic backward of the tile blend.
+
+    Pass 1 re-walks the forward segments (same early-termination schedule)
+    stashing each segment's entry log-transmittance; pass 2 walks segments
+    back-to-front carrying the suffix colour-dot accumulation
+
+        B_k(p) = sum_{j>k} w_j(p) * (col_j . g_accum_p),
+
+    giving  dL/dalpha_k(p) = T_k(p) s_k(p) - (B_k(p) + g_logt(p)) / (1-a_k)
+    with s_k(p) = col_k . g_accum_p, then chains through
+    alpha = clip(op*exp(power)) to the attribute gradients.
+    """
+    k = data_ref.shape[1]
+    n_seg = k // SEG
+
+    tile = pl.program_id(0)
+    u0 = u0_ref[tile]
+    v0 = v0_ref[tile]
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (u0 + local % TILE).astype(jnp.float32)
+    py = (v0 + local // TILE).astype(jnp.float32)
+
+    g_accum = g_accum_ref[0]  # (PX, 8); padding channels carry zero cotangent
+    g_logt = g_logt_ref[0]  # (1, PX)
+
+    def seg_alpha(s):
+        block = data_ref[0, pl.ds(s * SEG, SEG), :]
+        mx = block[:, 0:1]
+        my = block[:, 1:2]
+        ca = block[:, 2:3]
+        cb = block[:, 3:4]
+        cc = block[:, 4:5]
+        op = block[:, 5:6]
+        dx = mx - px
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = op * jnp.exp(power)
+        alpha = jnp.minimum(raw, ALPHA_MAX)
+        live = (power <= 0.0) & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(live, alpha, 0.0)
+        unclipped = live & (raw < ALPHA_MAX)
+        return block, alpha, unclipped, power, dx, dy, ca, cb, cc, op
+
+    # ---- pass 1: entry log-transmittance per segment (fwd schedule) ----
+    def p1_body(s, logt):
+        entry_ref[pl.ds(s, 1), :] = logt
+
+        def compute(_):
+            _, alpha, _, _, _, _, _, _, _, _ = seg_alpha(s)
+            return logt + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+
+        saturated = jnp.max(logt) < LOG_EPS
+        return jax.lax.cond(saturated, lambda _: logt, compute, None)
+
+    jax.lax.fori_loop(0, n_seg, p1_body, jnp.zeros((1, PX), jnp.float32))
+
+    # ---- pass 2: reverse walk with suffix accumulation ----
+    def p2_body(i, b_carry):
+        s = n_seg - 1 - i
+        logt_in = entry_ref[pl.ds(s, 1), :]
+
+        def compute(b):
+            block, alpha, unclipped, power, dx, dy, ca, cb, cc, op = seg_alpha(s)
+            logs = jnp.log1p(-alpha)
+            prefix = _prefix_scan_exclusive(logs)
+            t_k = jnp.exp(logt_in + prefix)  # (SEG, PX)
+            w = alpha * t_k
+            colors = block[:, 6:14]  # (SEG, 8)
+            s_k = jax.lax.dot_general(
+                colors,
+                g_accum,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (SEG, PX)
+            ws = w * s_k
+            b_k = b + _suffix_scan_exclusive(ws)  # (SEG, PX)
+            one_minus = jnp.maximum(1.0 - alpha, 1.0 / 256.0)
+            d_alpha = t_k * s_k - (b_k + g_logt) / one_minus
+            d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+
+            d_col = jax.lax.dot_general(
+                w,
+                g_accum,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (SEG, 8)
+
+            d_raw = jnp.where(unclipped, d_alpha, 0.0)
+            d_power = d_raw * alpha  # alpha == raw where unclipped
+            # mask power BEFORE exp: power > 0 rows would overflow to inf
+            exp_power = jnp.exp(jnp.where(unclipped, power, 0.0))
+            d_op = jnp.sum(d_raw * exp_power, axis=1, keepdims=True)
+            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+            d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+            d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+            d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+
+            d_block = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col], axis=1
+            )  # (SEG, 14)
+            d_block = jnp.pad(d_block, ((0, 0), (0, N_ATTR - 14)))
+            d_data_ref[0, pl.ds(s * SEG, SEG), :] = d_block
+            return b + jnp.sum(ws, axis=0, keepdims=True)
+
+        def skip(b):
+            d_data_ref[0, pl.ds(s * SEG, SEG), :] = jnp.zeros(
+                (SEG, N_ATTR), jnp.float32
+            )
+            return b
+
+        saturated = jnp.max(logt_in) < LOG_EPS
+        return jax.lax.cond(saturated, skip, compute, b_carry)
+
+    jax.lax.fori_loop(0, n_seg, p2_body, jnp.zeros((1, PX), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_channels", "interpret"))
+def _blend_bwd_pallas(tile_data, tile_u0, tile_v0, g_accum, g_logt, n_channels, interpret):
+    t, k, _ = tile_data.shape
+    g_accum_pad = jnp.pad(g_accum, ((0, 0), (0, 0), (0, 8 - n_channels)))
+    kernel = functools.partial(_blend_bwd_kernel, n_channels=n_channels)
+    d_data = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, k, N_ATTR), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, PX, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, N_ATTR), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, k, N_ATTR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k // SEG, PX), jnp.float32)],
+        interpret=interpret,
+    )(tile_data, tile_u0, tile_v0, g_accum_pad, g_logt[:, None, :])
+    return d_data
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def blend_tiles(tile_data, tile_u0, tile_v0, n_channels=5, interpret=False):
+    """Differentiable fused tile blend (Pallas fwd + analytic Pallas bwd)."""
+    return blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels, interpret)
+
+
+def _blend_tiles_fwd(tile_data, tile_u0, tile_v0, n_channels, interpret):
+    out = blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels, interpret)
+    return out, (tile_data, tile_u0, tile_v0)
+
+
+def _blend_tiles_bwd(n_channels, interpret, residuals, cotangents):
+    tile_data, tile_u0, tile_v0 = residuals
+    g_accum, g_logt = cotangents
+    d_data = _blend_bwd_pallas(
+        tile_data, tile_u0, tile_v0, g_accum, g_logt, n_channels, interpret
+    )
+    return d_data, None, None
+
+
+blend_tiles.defvjp(_blend_tiles_fwd, _blend_tiles_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("n_channels", "interpret"))
 def blend_tiles_pallas(
     tile_data: jnp.ndarray,  # (T, K, N_ATTR) f32 gathered per-tile attributes

@@ -271,7 +271,7 @@ def _rasterize_tiled_prefix(
     if backend == "pallas":
         import jax as _jax
 
-        from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles_pallas
+        from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles
 
         assert k_per_tile % SEG == 0, (
             f"pallas backend needs k_per_tile % {SEG} == 0, got {k_per_tile}"
@@ -288,12 +288,12 @@ def _rasterize_tiled_prefix(
             -1,
         )  # (N+1, 16)
         tile_data = data[global_ids]  # (T, K, 16) — one gather
-        accum_t, logt_t = blend_tiles_pallas(
+        accum_t, logt_t = blend_tiles(
             tile_data,
             tile_u0.astype(jnp.int32),
             tile_v0.astype(jnp.int32),
-            n_channels=c_dim_in,
-            interpret=_jax.default_backend() != "tpu",
+            c_dim_in,
+            _jax.default_backend() != "tpu",
         )
     else:
 
