@@ -81,6 +81,11 @@ class MapperNode:
         self.movement_fail_times = 0
         self.last_frame: Optional[Dict[str, np.ndarray]] = frame0
         self._finished = False
+        self.recorder = None
+        if save_runtime_data:
+            from activesplat_tpu.io.recorder import RuntimeRecorder
+
+            self.recorder = RuntimeRecorder(results_dir)
 
         bus.register_service("get_dataset_config", lambda: cfg_ds)
         bus.register_service("get_topdown_config", self._get_topdown_config)
@@ -127,6 +132,11 @@ class MapperNode:
             )
         self.mapper.run(frame)
         self.last_frame = frame
+        if self.recorder is not None:
+            step, _ = self.dataset.get_step_info()
+            if step % 100 == 0:
+                rgb, depth = self.mapper.render_rgbd(frame["c2w"])
+                self.recorder.save_view(step, rgb, depth)
         self._publish_pose(frame)
         if self.dataset.is_finished():
             self.finish()
@@ -158,6 +168,8 @@ class MapperNode:
         free_binary, unobserved_binary, _ = render_topdown(
             self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
         )
+        if self.recorder is not None:
+            self.recorder.save_topdown(free_binary, unobserved_binary)
         response = {
             "free_map": free_binary,
             "visible_map": unobserved_binary,
@@ -199,7 +211,10 @@ class MapperNode:
                 "targets_frustums_volume": [s[1] for s in scores],
                 "nodes_id": list(nodes_id) if nodes_id is not None else [],
             }
-        total, best_pose, _ = self.mapper.get_local_invisibility(view_c2w)
+        total, best_pose, invis = self.mapper.get_local_invisibility(view_c2w)
+        if self.recorder is not None:
+            step, _ = self.dataset.get_step_info()
+            self.recorder.save_panorama(step, "local", invis)
         frustums = [best_pose]  # None means no proposal (reference Pose() zero)
         if self.mapper.high_loss_samples_pose_c2w is not None:
             frustums.append(self.mapper.high_loss_samples_pose_c2w)

@@ -18,6 +18,7 @@ OpenCV-convention c2w (x right, y down, z forward).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -108,6 +109,21 @@ class BoxWorld:
         z-depth in meters, clamped to 0 outside [depth_min, depth_max] like
         the reference's DepthFilter (src/dataloader/image_transforms.py:34-46)).
         """
+        if os.environ.get("ACTIVESPLAT_NATIVE", "1") != "0":
+            from activesplat_tpu.runtime import native_raycast
+
+            if native_raycast.native_available():
+                return native_raycast.raycast(
+                    c2w,
+                    intrinsics,
+                    width,
+                    height,
+                    self.size,
+                    self.obstacles.reshape(-1, 6),
+                    depth_min,
+                    depth_max,
+                )
+
         fx, fy = intrinsics[0, 0], intrinsics[1, 1]
         cx, cy = intrinsics[0, 2], intrinsics[1, 2]
         us, vs = np.meshgrid(np.arange(width), np.arange(height))
