@@ -127,17 +127,34 @@ def global_invisibility(
         c2w[2, 3] = pos[2]  # keep agent camera height (splatam/__init__.py:703-704)
         all_poses.append(pano_view_poses(c2w))
     w2cs_np = np.linalg.inv(np.concatenate(all_poses, 0))  # (N*3, 4, 4)
-    # pad the batch to a power-of-two bucket so XLA compiles a bounded
-    # number of batched-render variants regardless of node count
+    # Render in fixed-size view chunks: per-view projection intermediates
+    # scale with buffer capacity, so an unbounded vmap over all nodes' views
+    # would exhaust HBM on large maps. 12 views/call bounds peak memory while
+    # keeping one compiled variant.
     m = len(w2cs_np)
-    bucket = max(8, 1 << (m - 1).bit_length())
-    pad = bucket - m
-    if pad:
-        w2cs_np = np.concatenate([w2cs_np, np.tile(np.eye(4), (pad, 1, 1))], 0)
+    view_chunk = 12
+    padded = -(-m // view_chunk) * view_chunk
+    if padded != m:
+        w2cs_np = np.concatenate(
+            [w2cs_np, np.tile(np.eye(4), (padded - m, 1, 1))], 0
+        )
     width, height = pano_dims(scale)
-    _, depth, alpha = _render_views(buf, jnp.asarray(w2cs_np, jnp.float32), chunk, scale)
-    depth = np.asarray(depth)[:m].reshape(n, PANO_VIEWS, height, width)
-    alpha = np.asarray(alpha)[:m].reshape(n, PANO_VIEWS, height, width)
+    depth_parts, alpha_parts = [], []
+    for start in range(0, padded, view_chunk):
+        _, d_c, a_c = _render_views(
+            buf,
+            jnp.asarray(w2cs_np[start : start + view_chunk], jnp.float32),
+            chunk,
+            scale,
+        )
+        depth_parts.append(np.asarray(d_c))
+        alpha_parts.append(np.asarray(a_c))
+    depth = np.concatenate(depth_parts, 0)[:m].reshape(
+        n, PANO_VIEWS, height, width
+    )
+    alpha = np.concatenate(alpha_parts, 0)[:m].reshape(
+        n, PANO_VIEWS, height, width
+    )
 
     results = []
     for i in range(n):
