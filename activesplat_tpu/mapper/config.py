@@ -42,6 +42,12 @@ class MapperConfig:
     add_new_gaussians: bool = True
     densify_downscale_factor: int = 1
     new_gaussian_depth_limit: float = 5.0  # splatam.py:348
+    # gradient-based clone/split densification (use_gaussian_splatting_
+    # densification, online_habitat_sim.py:81-92 — off by default there too).
+    # grad_thresh is in mean2d PIXEL units (the CUDA tap is NDC-scaled).
+    use_gs_densification: bool = False
+    densify_grad_thresh: float = 0.05
+    densify_percent_dense: float = 0.01  # big-vs-small split threshold x scene_radius
     # gaussian init
     gaussian_distribution: str = "anisotropic"
     scene_radius_depth_ratio: float = 3.0

@@ -242,6 +242,27 @@ class SplaTAMMapper:
             # online_psnr.txt summaries, eval_helpers.py:153-277, 370-402)
             self.online_metrics.append({"frame": frame_id, **self.last_metrics})
 
+        # Gradient-based clone/split densification (off by default, as in
+        # the reference config online_habitat_sim.py:81).
+        if self.cfg.use_gs_densification and is_map_frame and frame_id > 0:
+            from activesplat_tpu.mapper.step import densify_gradient_phase
+
+            self.buf, dropped, n_new = densify_gradient_phase(
+                self.buf,
+                jnp.float32(self.scene_radius),
+                jnp.float32(frame_id),
+                self._next_key(),
+                self.cfg,
+            )
+            if self._grow_if_needed(int(dropped), 4096):
+                self.buf, dropped, n_new = densify_gradient_phase(
+                    self.buf,
+                    jnp.float32(self.scene_radius),
+                    jnp.float32(frame_id),
+                    self._next_key(),
+                    self.cfg,
+                )
+
         # Keyframe commit (splatam/__init__.py:514-524).
         if (
             frame_id == 0
@@ -299,6 +320,27 @@ class SplaTAMMapper:
         )
         if self.dumper is not None:
             self.dumper.write()
+        # keyframe RGB|depth side-by-side dumps (save_keyframes role,
+        # common_utils.py:46-59)
+        kf_dir = os.path.join(out_dir, "keyframes")
+        os.makedirs(kf_dir, exist_ok=True)
+        import cv2
+
+        count = int(self.store.count)
+        for slot in range(count):
+            fid = int(self.store.frame_id[slot])
+            rgb_u8 = (
+                np.clip(np.asarray(self.store.rgb[slot]), 0, 1) * 255
+            ).astype(np.uint8)
+            dep = np.asarray(self.store.depth[slot])
+            top = dep.max() if dep.max() > 0 else 1.0
+            dep_u8 = cv2.applyColorMap(
+                np.clip(dep / top * 255, 0, 255).astype(np.uint8),
+                cv2.COLORMAP_JET,
+            )
+            side = np.hstack([cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2BGR), dep_u8])
+            cv2.imwrite(os.path.join(kf_dir, f"{fid:04d}.png"), side)
+
         if self.online_metrics:
             with open(os.path.join(out_dir, "online_psnr.txt"), "w") as fh:
                 fh.writelines(f"{m['psnr']}\n" for m in self.online_metrics)

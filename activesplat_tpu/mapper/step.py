@@ -21,7 +21,12 @@ from activesplat_tpu.mapper.adam import AdamState, adam_update, lr_pytree
 from activesplat_tpu.mapper.config import MapperConfig
 from activesplat_tpu.mapper.geometry import gaussians_from_rgbd
 from activesplat_tpu.mapper.keyframes import KeyframeStore
-from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, insert_gaussians
+from activesplat_tpu.models.gaussians import (
+    Camera,
+    GaussianBuffer,
+    GaussianParams,
+    insert_gaussians,
+)
 from activesplat_tpu.ops.render import render
 from activesplat_tpu.ops.ssim import psnr, ssim
 
@@ -83,6 +88,98 @@ def mapping_loss(
         psnr=psnr(out.rgb, im_gt),
     )
     return loss, aux
+
+
+def mapping_loss_with_tap(
+    params,
+    tap: jnp.ndarray,  # (C, 2) zeros — gradient tap on projected means
+    buf: GaussianBuffer,
+    cam: Camera,
+    im_gt: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    cfg: MapperConfig,
+) -> Tuple[jnp.ndarray, LossAux]:
+    """mapping_loss with an explicit mean2d gradient tap: differentiating
+    with respect to `tap` yields dLoss/d(mean2d) — the densification signal
+    the reference captures via rendervar['means2D'].retain_grad()
+    (splatam.py:207-209, accumulated by slam_external.py:100-108)."""
+    from activesplat_tpu.ops.projection import project_gaussians
+    from activesplat_tpu.ops.render import render_projected
+
+    p = params
+    active = buf.active
+    proj = project_gaussians(
+        p.means3d, p.quats, p.log_scales, active,
+        cam.w2c, cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+        near=cam.near, far=cam.far,
+    )
+    proj = proj._replace(mean2d=proj.mean2d + tap)
+    out = render_projected(
+        proj,
+        p.rgb,
+        jax.nn.sigmoid(p.logit_opacities),
+        cam,
+        chunk=cfg.chunk,
+        k_per_tile=cfg.k_per_tile,
+    )
+    mask = jax.lax.stop_gradient(depth_gt > 0)
+    depth_l1 = jnp.sum(jnp.abs(depth_gt - out.depth) * mask) / jnp.maximum(
+        jnp.sum(mask), 1.0
+    )
+    rgb_l1 = jnp.mean(jnp.abs(out.rgb - im_gt))
+    ssim_val = ssim(out.rgb, im_gt)
+    loss = cfg.loss_w_im * (0.8 * rgb_l1 + 0.2 * (1.0 - ssim_val)) + (
+        cfg.loss_w_depth * depth_l1
+    )
+    aux = LossAux(rgb_l1, depth_l1, ssim_val, out.radii, psnr(out.rgb, im_gt))
+    return loss, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def densify_gradient_phase(
+    buf: GaussianBuffer,
+    scene_radius: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    key: jax.Array,
+    cfg: MapperConfig,
+):
+    """Gradient-driven clone/split (densify, slam_external.py:195-247): small
+    high-gradient Gaussians are cloned; big ones are split — a perturbed copy
+    is inserted and the original's scale shrinks by 1.6 (net two children).
+    Returns (buf, num_dropped, num_new)."""
+    avg_grad = buf.grad_accum / jnp.maximum(buf.denom, 1.0)
+    high = buf.active & (avg_grad > cfg.densify_grad_thresh)
+    max_scale = jnp.max(jnp.exp(buf.params.log_scales), axis=-1)
+    big = max_scale > cfg.densify_percent_dense * scene_radius
+    clone_mask = high & ~big
+    split_mask = high & big
+
+    p = buf.params
+    noise = (
+        jax.random.normal(key, p.means3d.shape) * jnp.exp(p.log_scales)
+    )
+    cand = GaussianParams(
+        means3d=jnp.where(split_mask[:, None], p.means3d + noise, p.means3d),
+        rgb=p.rgb,
+        quats=p.quats,
+        logit_opacities=p.logit_opacities,
+        log_scales=jnp.where(
+            split_mask[:, None], p.log_scales - jnp.log(1.6), p.log_scales
+        ),
+    )
+    before = buf.num_active()
+    buf, dropped = insert_gaussians(buf, cand, clone_mask | split_mask, frame_id)
+    # shrink the split originals (their inserted copies already are)
+    buf = buf.replace(
+        params=buf.params.replace(
+            log_scales=jnp.where(
+                split_mask[:, None],
+                buf.params.log_scales - jnp.log(1.6),
+                buf.params.log_scales,
+            )
+        )
+    )
+    return buf, dropped, buf.num_active() - before
 
 
 def _build_window(
@@ -148,6 +245,7 @@ def mapping_phase(
     lrs = lr_pytree(cfg)
 
     grad_fn = jax.value_and_grad(mapping_loss, has_aux=True)
+    grad_fn_tap = jax.value_and_grad(mapping_loss_with_tap, argnums=(0, 1), has_aux=True)
 
     def body(carry, it_key):
         buf_c, opt_c = carry
@@ -155,7 +253,13 @@ def mapping_phase(
         im = store.rgb[idx]
         dep = store.depth[idx]
         cam_i = dataclasses.replace(cam, w2c=store.w2c[idx])
-        (loss, aux), grads = grad_fn(buf_c.params, buf_c, cam_i, im, dep, cfg)
+        if cfg.use_gs_densification:
+            tap = jnp.zeros_like(buf_c.params.means3d[:, :2])
+            (loss, aux), (grads, g_tap) = grad_fn_tap(
+                buf_c.params, tap, buf_c, cam_i, im, dep, cfg
+            )
+        else:
+            (loss, aux), grads = grad_fn(buf_c.params, buf_c, cam_i, im, dep, cfg)
         new_params, opt_n = adam_update(
             buf_c.params, grads, opt_c, lrs, cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
         )
@@ -166,6 +270,13 @@ def mapping_phase(
                 seen, jnp.maximum(buf_c.max_radius, aux.radii), buf_c.max_radius
             ),
         )
+        if cfg.use_gs_densification:
+            # accumulate_mean2d_gradient (slam_external.py:100-108)
+            buf_n = buf_n.replace(
+                grad_accum=buf_n.grad_accum
+                + jnp.where(seen, jnp.linalg.norm(g_tap, axis=-1), 0.0),
+                denom=buf_n.denom + seen.astype(jnp.float32),
+            )
         return (buf_n, opt_n), (loss, aux.psnr, aux.depth_l1)
 
     keys = jax.random.split(key_iters, num_iters)
@@ -217,9 +328,26 @@ def densify_phase(
 ):
     """Silhouette/depth-error densification (add_new_gaussians semantics,
     splatam.py:332-379): pixels the map does not yet explain become new
-    Gaussians, written into free buffer slots. Returns
+    Gaussians, written into free buffer slots. Runs at the densification
+    resolution (cfg.densify_downscale_factor, the reference's
+    densification_image_width/height, splatam/__init__.py:135-136,361-375),
+    which also bounds Gaussian-count growth. Returns
     (buf, num_dropped, num_inserted)."""
     from activesplat_tpu.ops.render import forward_backend
+
+    f = max(int(cfg.densify_downscale_factor), 1)
+    if f > 1:
+        cam = dataclasses.replace(
+            cam,
+            width=cam.width // f,
+            height=cam.height // f,
+            fx=cam.fx / f,
+            fy=cam.fy / f,
+            cx=cam.cx / f,
+            cy=cam.cy / f,
+        )
+        rgb = rgb[:: f, :: f][: cam.height, : cam.width]
+        depth_gt = depth_gt[:: f, :: f][: cam.height, : cam.width]
 
     out = render(
         buf,

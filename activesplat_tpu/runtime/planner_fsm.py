@@ -891,4 +891,32 @@ class PlannerFSM:
             cv2.polylines(
                 visited, [np.int32(self.visited_px)], False, (0, 0, 255), 1
             )
+        if self.pose:
+            from activesplat_tpu.planner.viz import visualize_agent
+
+            visited = visualize_agent(
+                visited,
+                self.topdown_cfg.meter_per_pixel,
+                self.pose["px"],
+                self.pose["heading"],
+            )
         cv2.imwrite(os.path.join(self.results_dir, "visited_map.png"), visited)
+        if self.vg is not None:
+            from activesplat_tpu.planner.viz import draw_subregions, draw_voronoi_graph
+
+            graph_img = draw_voronoi_graph(
+                self.free_map,
+                self.vg.vertices,
+                self.vg.graph,
+                self.vg.nodes_index,
+                self.nodes_score,
+                self.vg.pruned_chains,
+            )
+            cv2.imwrite(
+                os.path.join(self.results_dir, "voronoi_graph.png"), graph_img
+            )
+            if self.subregions:
+                cv2.imwrite(
+                    os.path.join(self.results_dir, "subregion_map.png"),
+                    draw_subregions(self.free_map, self.vg.vertices, self.subregions),
+                )

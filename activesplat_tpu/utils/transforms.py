@@ -157,3 +157,31 @@ def rotation_distance_deg(rot_a: np.ndarray, rot_b: np.ndarray) -> float:
     diff = rot_a @ rot_b.T
     cos = np.clip((np.trace(diff) - 1.0) / 2.0, -1.0, 1.0)
     return float(np.degrees(np.arccos(cos)))
+
+
+class PoseChangeType:
+    """Pose-change classification (reference: gui_utils.py:309-336)."""
+
+    NONE = 0
+    TRANSLATION = 1
+    ROTATION = 2
+    BOTH = 3
+
+
+def pose_change_type(
+    c2w_old: np.ndarray,
+    c2w_new: np.ndarray,
+    translation_threshold: float,
+    rotation_threshold_deg: float,
+) -> int:
+    dt = float(np.linalg.norm(c2w_new[:3, 3] - c2w_old[:3, 3]))
+    dr = rotation_distance_deg(c2w_new[:3, :3], c2w_old[:3, :3])
+    moved = dt > translation_threshold
+    turned = dr > rotation_threshold_deg
+    if moved and turned:
+        return PoseChangeType.BOTH
+    if moved:
+        return PoseChangeType.TRANSLATION
+    if turned:
+        return PoseChangeType.ROTATION
+    return PoseChangeType.NONE
