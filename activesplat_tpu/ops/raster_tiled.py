@@ -273,9 +273,12 @@ def _rasterize_tiled_prefix(
 
         from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles
 
-        assert k_per_tile % SEG == 0, (
-            f"pallas backend needs k_per_tile % {SEG} == 0, got {k_per_tile}"
-        )
+        # kernel segments are SEG gaussians; round the list capacity up
+        if k_per_tile % SEG != 0:
+            raise ValueError(
+                f"pallas backend needs k_per_tile % {SEG} == 0, got "
+                f"{k_per_tile}; choose a multiple of {SEG}"
+            )
         c_dim_in = colors.shape[1]
         data = jnp.concatenate(
             [
