@@ -195,12 +195,23 @@ def rasterize_tiled(
     """
     n = mean2d.shape[0]
     key = jnp.where(valid, depth, jnp.inf)
-    order = jax.lax.stop_gradient(jnp.argsort(key)).astype(jnp.int32)
-    packed = jax.lax.stop_gradient(
-        jnp.stack(
-            [mean2d[:, 0], mean2d[:, 1], radius, valid.astype(mean2d.dtype)], -1
-        )
-    )[order]  # (N, 4) — the single sorted gather
+    # one multi-operand sort carries the binning attributes with the keys —
+    # ~3x cheaper than argsort + a row gather (random-access row gathers are
+    # slow on TPU)
+    sg = jax.lax.stop_gradient
+    _, s_mx, s_my, s_rad, s_val, order = jax.lax.sort(
+        (
+            sg(key),
+            sg(mean2d[:, 0]),
+            sg(mean2d[:, 1]),
+            sg(radius),
+            valid.astype(mean2d.dtype),
+            jnp.arange(n, dtype=jnp.int32),
+        ),
+        dimension=0,
+        num_keys=1,
+    )
+    packed = jnp.stack([s_mx, s_my, s_rad, s_val], -1)  # (N, 4)
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
     buckets = _prefix_buckets(n)

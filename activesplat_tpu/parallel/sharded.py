@@ -123,6 +123,83 @@ def render_sharded(
     return rgb, depth, alpha, proj.radius
 
 
+def render_sharded_tiled(
+    buf: GaussianBuffer,
+    cam: Camera,
+    mesh: Mesh,
+    bg: jnp.ndarray | None = None,
+    k_per_tile: int = 256,
+):
+    """Tile-sharded production render: projection/sort replicated (O(N)),
+    each device bins + blends its block of tile rows with the tiled
+    rasterizer, outputs all_gathered. Differentiable (grads of replicated
+    params combine via the all_gather transpose).
+
+    The blend runs the XLA path inside shard_map (the Pallas kernel is
+    exercised single-chip; multi-chip Pallas-under-shard_map is untested on
+    this single-chip setup)."""
+    from activesplat_tpu.ops.projection import project_gaussians
+    from activesplat_tpu.ops.raster_tiled import TILE, rasterize_tiled
+
+    n_dev = mesh.shape["px"]
+    rows = cam.height // n_dev
+    assert rows * n_dev == cam.height and rows % TILE == 0, (
+        f"height {cam.height} must split into {n_dev} blocks of whole "
+        f"{TILE}px tile rows"
+    )
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+
+    params = buf.params
+    proj = project_gaussians(
+        params.means3d, params.quats, params.log_scales, buf.active,
+        cam.w2c, cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+        near=cam.near, far=cam.far,
+    )
+    opac = jax.nn.sigmoid(params.logit_opacities)
+    channels = jnp.concatenate(
+        [params.rgb, proj.depth[:, None], (proj.depth * proj.depth)[:, None]], -1
+    )
+
+    def shard_fn(mean2d, conic, opacity, chans, valid, radius, depth, bg_rep):
+        row0 = (jax.lax.axis_index("px") * rows).astype(mean2d.dtype)
+        local_mean = mean2d - jnp.stack(
+            [jnp.zeros_like(row0), row0]
+        )  # shift rows into this shard's frame
+        accum, log_t, _ = rasterize_tiled(
+            local_mean,
+            conic,
+            opacity,
+            chans,
+            valid,
+            radius,
+            depth,
+            width=cam.width,
+            height=rows,
+            k_per_tile=k_per_tile,
+            backend="xla",
+        )
+        t = jnp.exp(log_t)
+        rgb = (accum[:, :3] + t[:, None] * bg_rep[None, :]).reshape(
+            rows, cam.width, 3
+        )
+        dep = accum[:, 3].reshape(rows, cam.width)
+        alpha = (1.0 - t).reshape(rows, cam.width)
+        rgb = jax.lax.all_gather(rgb, "px", tiled=True)
+        dep = jax.lax.all_gather(dep, "px", tiled=True)
+        alpha = jax.lax.all_gather(alpha, "px", tiled=True)
+        return rgb, dep, alpha
+
+    rgb, depth, alpha = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(),) * 8,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(proj.mean2d, proj.conic, opac, channels, proj.valid, proj.radius, proj.depth, bg)
+    return rgb, depth, alpha, proj.radius
+
+
 def sharded_mapping_loss(
     params,
     buf: GaussianBuffer,
@@ -132,10 +209,20 @@ def sharded_mapping_loss(
     cfg: MapperConfig,
     mesh: Mesh,
 ):
-    """mapping_loss (mapper/step.py) with the render sharded over the mesh."""
-    rgb, depth, alpha, radii = render_sharded(
-        buf.replace(params=params), cam, mesh, chunk=cfg.chunk
-    )
+    """mapping_loss (mapper/step.py) with the render sharded over the mesh.
+    Uses the tiled rasterizer when the image splits into whole tile rows per
+    device, else the dense row-sharded path."""
+    from activesplat_tpu.ops.raster_tiled import TILE
+
+    rows = cam.height // mesh.shape["px"]
+    if cfg.k_per_tile > 0 and rows % TILE == 0:
+        rgb, depth, alpha, radii = render_sharded_tiled(
+            buf.replace(params=params), cam, mesh, k_per_tile=cfg.k_per_tile
+        )
+    else:
+        rgb, depth, alpha, radii = render_sharded(
+            buf.replace(params=params), cam, mesh, chunk=cfg.chunk
+        )
     mask = jax.lax.stop_gradient(depth_gt > 0)
     depth_l1 = jnp.sum(jnp.abs(depth_gt - depth) * mask) / jnp.maximum(
         jnp.sum(mask), 1.0

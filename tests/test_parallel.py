@@ -56,3 +56,21 @@ def test_sharded_step_improves_loss(rng):
         )
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_sharded_tiled_matches_single_device(rng):
+    from activesplat_tpu.parallel.sharded import render_sharded_tiled
+
+    w, h = 64, 128  # 8 devices x 16-row (one tile row) blocks
+    k = np.array([[40.0, 0, w / 2 - 1], [0, 40.0, h / 2 - 1], [0, 0, 1]])
+    scene = random_scene(rng, 150)
+    buf = buffer_from_scene(scene)
+    cam = make_camera(w, h, k, np.eye(4))
+    mesh = make_render_mesh()
+    rgb, depth, alpha, radii = jax.jit(
+        render_sharded_tiled, static_argnames=("mesh", "k_per_tile")
+    )(buf, cam, mesh, k_per_tile=128)
+    ref = render_jit(buf, cam, k_per_tile=128)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
