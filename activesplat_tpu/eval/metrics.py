@@ -25,15 +25,34 @@ def ssim(img_a: np.ndarray, img_b: np.ndarray) -> float:
 
 
 def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
-    """Multi-scale SSIM (pytorch_msssim parity: 5 levels, standard weights,
-    2x average-pool downsampling between levels)."""
+    """Multi-scale SSIM matching `pytorch_msssim.ms_ssim` (the reference's
+    eval metric, eval_helpers.py:483-484): per level, VALID-windowed SSIM;
+    the *contrast-structure* term at levels 0..L-2 and the full SSIM only at
+    the coarsest level; relu-clamped per-channel means; weighted per-channel
+    product, then mean over channels. 2x average-pool between levels
+    (pytorch pads odd dims; reference images are 256/512 so dims stay even —
+    odd dims here are truncated).
+
+    Requires min(H, W) > (11 - 1) * 2**(levels-1) so the coarsest level
+    still fits a window (pytorch_msssim raises the same way)."""
     weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
-    a = jnp.asarray(img_a)
-    b = jnp.asarray(img_b)
-    values = []
+    a = jnp.asarray(img_a, jnp.float32)
+    b = jnp.asarray(img_b, jnp.float32)
+    if a.ndim == 2:
+        a = a[:, :, None]
+        b = b[:, :, None]
+    if min(a.shape[0], a.shape[1]) <= 10 * 2 ** (levels - 1):
+        raise ValueError(
+            f"image {a.shape[:2]} too small for {levels}-level MS-SSIM"
+        )
+    from activesplat_tpu.ops.ssim import ssim_cs
+
+    per_level = []  # (C,) arrays: cs at 0..L-2, ssim at L-1
     for level in range(levels):
-        # contrast-structure term at intermediate levels; full SSIM at last
-        values.append(float(_ssim_jax(a, b)))
+        ssim_pc, cs_pc = ssim_cs(a, b)
+        per_level.append(np.maximum(
+            np.asarray(ssim_pc if level == levels - 1 else cs_pc), 0.0
+        ))
         if level < levels - 1:
             h = (a.shape[0] // 2) * 2
             w = (a.shape[1] // 2) * 2
@@ -43,8 +62,9 @@ def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
             b = (
                 b[:h:2, :w:2] + b[1:h:2, :w:2] + b[:h:2, 1:w:2] + b[1:h:2, 1:w:2]
             ) / 4.0
-    values = np.clip(np.asarray(values), 1e-6, 1.0)
-    return float(np.prod(values**weights))
+    stacked = np.stack(per_level)  # (levels, C)
+    per_channel = np.prod(stacked ** weights[:, None], axis=0)
+    return float(per_channel.mean())
 
 
 def depth_metrics(
@@ -115,10 +135,16 @@ def frame_report(
     depth_gt: np.ndarray,
 ) -> Dict[str, float]:
     l1, rmse = depth_metrics(depth_pred, depth_gt)
+    # largest pyramid depth (<=5) the image supports; 5 at the reference's
+    # 256px, fewer for small test frames
+    min_side = min(rgb_pred.shape[0], rgb_pred.shape[1])
+    levels = 1
+    while levels < 5 and min_side > 10 * 2**levels:
+        levels += 1
     out = {
         "psnr": psnr(rgb_pred, rgb_gt),
         "ssim": ssim(rgb_pred, rgb_gt),
-        "ms_ssim": ms_ssim(rgb_pred, rgb_gt),
+        "ms_ssim": ms_ssim(rgb_pred, rgb_gt, levels=levels),
         "depth_l1": l1,
         "depth_rmse": rmse,
     }

@@ -54,6 +54,34 @@ def backproject_frame(depth: np.ndarray, intrinsics: np.ndarray, c2w: np.ndarray
     return pts @ c2w[:3, :3].T + c2w[:3, 3]
 
 
+def _coverage_chunk(
+    frames: List,
+    intrinsics: np.ndarray,
+    gt_samples: np.ndarray,
+    point_subsample: int,
+):
+    """Score one chunk of frames: running per-GT-sample min distance +
+    accumulated observed points. Module-level so ProcessPoolExecutor can
+    pickle it (the reference parallelizes the same way,
+    eval_actions.py:96-148)."""
+    min_dist = np.full(len(gt_samples), np.inf)
+    observed: List[np.ndarray] = []
+    for depth, c2w in frames:
+        pts = backproject_frame(depth, intrinsics, c2w)
+        if len(pts) == 0:
+            continue
+        pts = pts[::point_subsample]
+        observed.append(pts)
+        # running completeness: nearest observed point per GT sample
+        tree_frame = cKDTree(pts)
+        d_gt, _ = tree_frame.query(gt_samples, k=1)
+        np.minimum(min_dist, d_gt, out=min_dist)
+    all_pts = (
+        np.concatenate(observed, 0) if observed else np.zeros((0, 3))
+    )
+    return min_dist, all_pts
+
+
 def eval_actions(
     dataset: SyntheticDataset,
     actions_path: str,
@@ -62,17 +90,17 @@ def eval_actions(
     dist_threshold: float = 0.05,
     frame_stride: int = 1,
     point_subsample: int = 4,
+    workers: int = 0,
 ) -> CoverageReport:
     """Replay a recorded action sequence in a *fresh* dataset and score
     coverage (eval_actions.py:42-153 semantics; 200k GT samples, 5 cm
-    completeness threshold)."""
+    completeness threshold). workers > 1 fans the per-frame KD queries out
+    over a ProcessPoolExecutor (reference: eval_actions.py:98)."""
     dataset.reset()
     if gt_samples is None:
         gt_samples = dataset.world.sample_surface(num_gt_samples, seed=0)
     tree_gt = cKDTree(gt_samples)
 
-    min_dist = np.full(len(gt_samples), np.inf)
-    observed: List[np.ndarray] = []
     forward_steps = 0
     intrinsics = dataset.sensor.intrinsics
 
@@ -85,19 +113,32 @@ def eval_actions(
         dataset.step(SimAction(action))
         frames.append(dataset.get_frame())
 
-    for frame in frames[::frame_stride]:
-        pts = backproject_frame(
-            frame["depth"], intrinsics, np.asarray(frame["c2w"], np.float64)
+    work = [
+        (f["depth"], np.asarray(f["c2w"], np.float64))
+        for f in frames[::frame_stride]
+    ]
+    if workers > 1 and len(work) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        chunks = [work[i::workers] for i in range(workers)]
+        chunks = [c for c in chunks if c]
+        with ProcessPoolExecutor(max_workers=len(chunks)) as pool:
+            results = list(
+                pool.map(
+                    _coverage_chunk,
+                    chunks,
+                    [intrinsics] * len(chunks),
+                    [gt_samples] * len(chunks),
+                    [point_subsample] * len(chunks),
+                )
+            )
+        min_dist = np.min([r[0] for r in results], axis=0)
+        observed = [r[1] for r in results if len(r[1])]
+    else:
+        min_dist, all_pts = _coverage_chunk(
+            work, intrinsics, gt_samples, point_subsample
         )
-        if len(pts) == 0:
-            continue
-        pts = pts[::point_subsample]
-        observed.append(pts)
-        d, _ = tree_gt.query(pts, k=1)
-        # running completeness: nearest observed point per GT sample
-        tree_frame = cKDTree(pts)
-        d_gt, _ = tree_frame.query(gt_samples, k=1)
-        min_dist = np.minimum(min_dist, d_gt)
+        observed = [all_pts] if len(all_pts) else []
 
     if observed:
         all_pts = np.concatenate(observed, 0)

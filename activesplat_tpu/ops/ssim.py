@@ -66,6 +66,48 @@ def ssim(
     return jnp.mean(score)
 
 
+def _blur_conv_valid(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable blur, VALID padding: output (H-k+1, W-k+1, C)."""
+    h, w, c = img.shape
+    k = window.shape[0]
+    x = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
+    krow = window.reshape(1, 1, k, 1)
+    kcol = window.reshape(1, 1, 1, k)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(krow), (1, 1), [(0, 0), (0, 0)],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kcol), (1, 1), [(0, 0), (0, 0)],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return x[:, 0].transpose(1, 2, 0)
+
+
+def ssim_cs(
+    img_a: jnp.ndarray,
+    img_b: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel (SSIM, contrast-structure) means over (H, W, C) images with
+    VALID windowing — pytorch_msssim's `_ssim` semantics (no padding; the
+    cs term is what MS-SSIM uses at intermediate pyramid levels). Returns two
+    (C,) arrays."""
+    window = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu_a = _blur_conv_valid(img_a, window)
+    mu_b = _blur_conv_valid(img_b, window)
+    mu_aa = mu_a * mu_a
+    mu_bb = mu_b * mu_b
+    mu_ab = mu_a * mu_b
+    sigma_aa = _blur_conv_valid(img_a * img_a, window) - mu_aa
+    sigma_bb = _blur_conv_valid(img_b * img_b, window) - mu_bb
+    sigma_ab = _blur_conv_valid(img_a * img_b, window) - mu_ab
+    cs_map = (2 * sigma_ab + _C2) / (sigma_aa + sigma_bb + _C2)
+    ssim_map = ((2 * mu_ab + _C1) / (mu_aa + mu_bb + _C1)) * cs_map
+    return jnp.mean(ssim_map, axis=(0, 1)), jnp.mean(cs_map, axis=(0, 1))
+
+
 def psnr(img_a: jnp.ndarray, img_b: jnp.ndarray) -> jnp.ndarray:
     """PSNR in dB for images in [0, 1] (reference: calc_psnr,
     slam_external.py:49-51)."""

@@ -129,15 +129,16 @@ def render_sharded_tiled(
     mesh: Mesh,
     bg: jnp.ndarray | None = None,
     k_per_tile: int = 256,
+    backend: str = "xla",
 ):
     """Tile-sharded production render: projection/sort replicated (O(N)),
     each device bins + blends its block of tile rows with the tiled
     rasterizer, outputs all_gathered. Differentiable (grads of replicated
     params combine via the all_gather transpose).
 
-    The blend runs the XLA path inside shard_map (the Pallas kernel is
-    exercised single-chip; multi-chip Pallas-under-shard_map is untested on
-    this single-chip setup)."""
+    backend="pallas" runs the fused Pallas blend (with its analytic VJP)
+    inside shard_map — interpret mode off-TPU, so the multichip dryrun
+    covers Pallas-under-shard_map on the virtual CPU mesh."""
     from activesplat_tpu.ops.projection import project_gaussians
     from activesplat_tpu.ops.raster_tiled import TILE, rasterize_tiled
 
@@ -177,7 +178,7 @@ def render_sharded_tiled(
             width=cam.width,
             height=rows,
             k_per_tile=k_per_tile,
-            backend="xla",
+            backend=backend,
         )
         t = jnp.exp(log_t)
         rgb = (accum[:, :3] + t[:, None] * bg_rep[None, :]).reshape(
@@ -208,6 +209,7 @@ def sharded_mapping_loss(
     depth_gt: jnp.ndarray,
     cfg: MapperConfig,
     mesh: Mesh,
+    backend: str = "xla",
 ):
     """mapping_loss (mapper/step.py) with the render sharded over the mesh.
     Uses the tiled rasterizer when the image splits into whole tile rows per
@@ -217,7 +219,8 @@ def sharded_mapping_loss(
     rows = cam.height // mesh.shape["px"]
     if cfg.k_per_tile > 0 and rows % TILE == 0:
         rgb, depth, alpha, radii = render_sharded_tiled(
-            buf.replace(params=params), cam, mesh, k_per_tile=cfg.k_per_tile
+            buf.replace(params=params), cam, mesh,
+            k_per_tile=cfg.k_per_tile, backend=backend,
         )
     else:
         rgb, depth, alpha, radii = render_sharded(
@@ -235,7 +238,7 @@ def sharded_mapping_loss(
     return loss, (radii, psnr(rgb, im_gt), depth_l1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "backend"))
 def sharded_mapping_step(
     buf: GaussianBuffer,
     opt_state: AdamState,
@@ -244,12 +247,13 @@ def sharded_mapping_step(
     depth_gt: jnp.ndarray,
     cfg: MapperConfig,
     mesh: Mesh,
+    backend: str = "xla",
 ) -> Tuple[GaussianBuffer, AdamState, dict]:
     """One full multi-chip training step: sharded render, loss, backward
     (reduce-scatter + replicate of parameter grads), per-group Adam update."""
     grad_fn = jax.value_and_grad(sharded_mapping_loss, has_aux=True)
     (loss, (radii, psnr_val, depth_l1)), grads = grad_fn(
-        buf.params, buf, cam, im_gt, depth_gt, cfg, mesh
+        buf.params, buf, cam, im_gt, depth_gt, cfg, mesh, backend
     )
     new_params, opt_state = adam_update(
         buf.params, grads, opt_state, lr_pytree(cfg), cfg.adam_b1, cfg.adam_b2, cfg.adam_eps

@@ -20,10 +20,64 @@ def test_metrics_identity(rng):
     img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
     assert psnr(img, img) > 60
     assert abs(ssim(img, img) - 1.0) < 1e-5
-    assert ms_ssim(img, img) > 0.999
+    assert ms_ssim(img, img, levels=2) > 0.999
     noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(np.float32)
     assert psnr(img, noisy) < 30
     assert ssim(img, noisy) < 0.98
+
+
+def _np_gauss_window(k=11, sigma=1.5):
+    xs = np.arange(k) - k // 2
+    g = np.exp(-(xs**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _np_filter_valid(img, w):
+    """Independent separable VALID gaussian filter, (H, W, C)."""
+    k = len(w)
+    h, wd, c = img.shape
+    out1 = np.zeros((h - k + 1, wd, c))
+    for i in range(h - k + 1):
+        out1[i] = np.tensordot(w, img[i : i + k], axes=(0, 0))
+    out2 = np.zeros((h - k + 1, wd - k + 1, c))
+    for j in range(wd - k + 1):
+        out2[:, j] = np.tensordot(w, out1[:, j : j + k], axes=(0, 1))
+    return out2
+
+
+def _np_ssim_cs(a, b):
+    c1, c2 = 0.01**2, 0.03**2
+    w = _np_gauss_window()
+    f = lambda x: _np_filter_valid(x, w)
+    mua, mub = f(a), f(b)
+    saa = f(a * a) - mua * mua
+    sbb = f(b * b) - mub * mub
+    sab = f(a * b) - mua * mub
+    cs = (2 * sab + c2) / (saa + sbb + c2)
+    ss = ((2 * mua * mub + c1) / (mua * mua + mub * mub + c1)) * cs
+    return ss.mean(axis=(0, 1)), cs.mean(axis=(0, 1))
+
+
+def test_ms_ssim_matches_reference_formula(rng):
+    """2-level MS-SSIM against a hand-written numpy implementation of the
+    pytorch_msssim recipe: VALID windows, contrast-structure at level 0,
+    full SSIM only at the coarsest level, per-channel weighted product."""
+    a = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+
+    _, cs0 = _np_ssim_cs(a, b)
+    a2 = (a[::2, ::2] + a[1::2, ::2] + a[::2, 1::2] + a[1::2, 1::2]) / 4
+    b2 = (b[::2, ::2] + b[1::2, ::2] + b[::2, 1::2] + b[1::2, 1::2]) / 4
+    ss1, _ = _np_ssim_cs(a2, b2)
+    w0, w1 = 0.0448, 0.2856
+    expected = float(
+        np.mean(np.maximum(cs0, 0) ** w0 * np.maximum(ss1, 0) ** w1)
+    )
+
+    got = ms_ssim(a, b, levels=2)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+    # distinguishable from plain SSIM and from the identity value
+    assert got != ssim(a, b)
 
 
 def test_depth_metrics():
@@ -88,6 +142,20 @@ def test_coverage_judge(tmp_path):
     np.testing.assert_allclose(report.path_length, 20 * 0.065, atol=1e-9)
     # a full spin at room center must see most of the room
     assert report.completeness_ratio > 0.1, report  # sparse 32x32 test frames
+
+    # process-parallel path is bit-identical to serial
+    par = eval_actions(
+        make_dataset(None),
+        os.path.join(results_dir, "actions.txt"),
+        num_gt_samples=20000,
+        frame_stride=2,
+        workers=2,
+    )
+    np.testing.assert_allclose(par.completeness, report.completeness)
+    np.testing.assert_allclose(
+        par.completeness_ratio, report.completeness_ratio
+    )
+    assert par.num_observed_points == report.num_observed_points
 
 
 def test_coverage_monotone(tmp_path):
