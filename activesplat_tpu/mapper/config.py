@@ -24,6 +24,37 @@ class LearningRates:
 
 
 @dataclasses.dataclass(frozen=True)
+class PruneConfig:
+    """prune_gaussians schedule (pruning_dict, online_habitat_sim.py:71-80;
+    consumed by slam_external.py:171-192). Iteration indices count within one
+    mapping event, matching the reference's per-frame `iter` loop variable."""
+
+    start_after: int = 0
+    remove_big_after: int = 0
+    stop_after: int = 20
+    prune_every: int = 20
+    removal_opacity_threshold: float = 0.005
+    final_removal_opacity_threshold: float = 0.005
+    reset_opacities: bool = False
+    reset_opacities_every: int = 500  # doesn't consider iter 0
+
+    def removal_fires(self, iteration: int) -> bool:
+        return (
+            iteration <= self.stop_after
+            and iteration >= self.start_after
+            and iteration % self.prune_every == 0
+        )
+
+    def reset_fires(self, iteration: int) -> bool:
+        return (
+            iteration <= self.stop_after
+            and self.reset_opacities
+            and iteration > 0
+            and iteration % self.reset_opacities_every == 0
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class MapperConfig:
     seed: int = 0
     # scheduling (gibson.json mapper block)
@@ -48,6 +79,10 @@ class MapperConfig:
     use_gs_densification: bool = False
     densify_grad_thresh: float = 0.05
     densify_percent_dense: float = 0.01  # big-vs-small split threshold x scene_radius
+    # pruning (prune_gaussians, online_habitat_sim.py:70 — off by default
+    # there too)
+    prune_gaussians: bool = False
+    prune: PruneConfig = PruneConfig()
     # gaussian init
     gaussian_distribution: str = "anisotropic"
     scene_radius_depth_ratio: float = 3.0

@@ -214,21 +214,41 @@ class SplaTAMMapper:
                     self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id), self.cfg
                 )
 
-        # Optimization phase: selection + iterations, one device program.
+        # Optimization phase: selection + iterations, one device program
+        # (split into segments at prune-schedule fire points when pruning is
+        # on; default schedule fires only at iteration 0, so the common case
+        # stays a single program).
         if iter_per_frame > 0:
             t_iter = time.time()
-            self.buf, self.store, metrics = mapping_phase(
-                self.buf,
-                self.store,
-                rgb_j,
-                depth_j,
-                jnp.asarray(w2c, jnp.float32),
-                jnp.int32(frame_id),
-                cam,
-                self._next_key(),
-                self.cfg,
-                iter_per_frame,
+            pd = self.cfg.prune
+            fires = lambda i: self.cfg.prune_gaussians and (
+                pd.removal_fires(i) or pd.reset_fires(i)
             )
+            i = 0
+            while i < iter_per_frame:
+                if fires(i):
+                    from activesplat_tpu.mapper.step import prune_phase
+
+                    self.buf, _ = prune_phase(
+                        self.buf, self.cfg, i, self.scene_radius
+                    )
+                nxt = next(
+                    (j for j in range(i + 1, iter_per_frame) if fires(j)),
+                    iter_per_frame,
+                )
+                self.buf, self.store, metrics = mapping_phase(
+                    self.buf,
+                    self.store,
+                    rgb_j,
+                    depth_j,
+                    jnp.asarray(w2c, jnp.float32),
+                    jnp.int32(frame_id),
+                    cam,
+                    self._next_key(),
+                    self.cfg,
+                    nxt - i,
+                )
+                i = nxt
             jax.block_until_ready(self.buf.params.means3d)
             dt = time.time() - t_iter
             self.mapping_iter_time_sum += dt

@@ -411,12 +411,76 @@ def first_frame_phase(
     return buf, dropped, scene_radius
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def prune_phase(buf: GaussianBuffer, cfg: MapperConfig, opacity_threshold: float = 0.005):
-    """Low-opacity pruning (prune_gaussians semantics,
-    slam_external.py:171-192, off by default in the reference config)."""
+@functools.partial(
+    jax.jit, static_argnames=("opacity_threshold", "remove_big")
+)
+def _prune_removal(
+    buf: GaussianBuffer,
+    scene_radius: jnp.ndarray,
+    opacity_threshold: float,
+    remove_big: bool,
+):
     from activesplat_tpu.models.gaussians import prune_mask
 
     opac = jax.nn.sigmoid(buf.params.logit_opacities)
     remove = buf.active & (opac < opacity_threshold)
+    if remove_big:
+        big = (
+            jnp.max(jnp.exp(buf.params.log_scales), axis=-1)
+            > 0.1 * scene_radius
+        )
+        remove = remove | (buf.active & big)
     return prune_mask(buf, remove), jnp.sum(remove.astype(jnp.int32))
+
+
+@jax.jit
+def _reset_opacities(buf: GaussianBuffer) -> GaussianBuffer:
+    """Reset every active Gaussian's opacity to 0.01 (inverse-sigmoid logit;
+    slam_external.py:188-190). Adam moments for the opacity group are fresh
+    at the next mapping event (per-event optimizer, splatam/__init__.py:440),
+    mirroring the reference's zeroed optimizer state on param swap."""
+    new_logit = jnp.log(0.01 / (1.0 - 0.01))
+    p = buf.params
+    return buf.replace(
+        params=p.replace(
+            logit_opacities=jnp.where(
+                buf.active, jnp.full_like(p.logit_opacities, new_logit),
+                p.logit_opacities,
+            )
+        )
+    )
+
+
+def prune_phase(
+    buf: GaussianBuffer,
+    cfg: MapperConfig,
+    iteration: int = 0,
+    scene_radius: float = float("inf"),
+):
+    """Full prune_gaussians parity (slam_external.py:171-192): schedule-gated
+    low-opacity removal (final threshold at stop_after), too-big-vs-scene-
+    radius removal after remove_big_after, and periodic opacity reset.
+    `iteration` is the per-mapping-event iteration index (the reference's
+    `iter` loop variable, splatam/__init__.py:473-477).
+
+    Deviation from the reference: removal fires *between* optimization
+    iterations (the reference removes mid-iteration, after backward and
+    before the Adam step) — the set of removed Gaussians at each fire point
+    is identical."""
+    pd = cfg.prune
+    n_removed = jnp.int32(0)
+    if pd.removal_fires(iteration):
+        thresh = (
+            pd.final_removal_opacity_threshold
+            if iteration == pd.stop_after
+            else pd.removal_opacity_threshold
+        )
+        buf, n_removed = _prune_removal(
+            buf,
+            jnp.float32(scene_radius),
+            float(thresh),
+            iteration >= pd.remove_big_after,
+        )
+    if pd.reset_fires(iteration):
+        buf = _reset_opacities(buf)
+    return buf, n_removed

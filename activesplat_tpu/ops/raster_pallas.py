@@ -12,9 +12,12 @@ alpha for a segment is a (SEG, 256) VPU array (256 px = 2x128 lanes); the
 in-segment prefix product uses a log-space Hillis-Steele scan over sublanes;
 the color accumulation is a (px, SEG) x (SEG, C) MXU matmul.
 
-Used for forward-only renders (map queries, densification, panoramas).
-Training keeps the XLA blend (autodiff); an analytic backward kernel is the
-natural next step.
+blend_tiles is fully differentiable: a custom VJP pairs this forward with an
+analytic backward kernel (_blend_bwd_kernel: forward re-walk stashing entry
+transmittances, then a back-to-front suffix-accumulation pass). It is the
+TPU training path (mapper/step.py) as well as the forward path for map
+queries, densification and panoramas. The wrapper (raster_tiled.py) pads
+per-tile lists to a SEG multiple, so any k_per_tile works.
 """
 
 from __future__ import annotations

@@ -188,8 +188,9 @@ def rasterize_tiled(
 
     backend="pallas" runs the blend in the fused Pallas kernel
     (ops/raster_pallas.py: everything VMEM-resident + early termination on
-    tile saturation) — FORWARD-ONLY, for map queries and densification;
-    "xla" is the differentiable training path.
+    tile saturation). It is fully differentiable — blend_tiles carries an
+    analytic custom VJP — and is the TPU training path (mapper/step.py);
+    "xla" is the pure-XLA blend used off-TPU and as the parity oracle.
 
     Returns (accum (H*W, C), log_transmittance (H*W,), dropped ()).
     """
@@ -284,13 +285,21 @@ def _rasterize_tiled_prefix(
 
         from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles
 
-        # kernel segments are SEG gaussians; round the list capacity up
+        # the kernel walks SEG-gaussian segments: round the per-tile list
+        # capacity up with padding entries (index n = the zero-opacity
+        # padding row, blended as a no-op)
         if k_per_tile % SEG != 0:
-            raise ValueError(
-                f"pallas backend needs k_per_tile % {SEG} == 0, got "
-                f"{k_per_tile}; choose a multiple of {SEG}"
+            pad_k = SEG - k_per_tile % SEG
+            global_ids = jnp.concatenate(
+                [global_ids, jnp.full((global_ids.shape[0], pad_k), n, jnp.int32)],
+                axis=1,
             )
         c_dim_in = colors.shape[1]
+        if c_dim_in > 8:
+            raise ValueError(
+                f"pallas blend supports at most 8 channels (MXU lane-packed "
+                f"colour block), got {c_dim_in}; use backend='xla'"
+            )
         data = jnp.concatenate(
             [
                 pad_mean,

@@ -57,3 +57,54 @@ def test_densify_gradient_phase_clones_and_splits(rng):
     assert float(buf2.params.log_scales.max()) <= float(
         buf.params.log_scales.max()
     ) + 1e-6
+
+
+def test_prune_phase_branches(rng):
+    """prune_gaussians parity (slam_external.py:171-192): opacity threshold,
+    final threshold at stop_after, too-big removal, schedule gating, reset."""
+    from activesplat_tpu.mapper.config import PruneConfig
+    from activesplat_tpu.mapper.step import prune_phase
+
+    scene = random_scene(rng, 64)
+    # deterministic opacities: half low, half high; two huge gaussians
+    scene["logit_opacities"][:32] = -8.0   # sigmoid ~ 3e-4 < 0.005
+    scene["logit_opacities"][32:] = 2.0
+    scene["log_scales"][:] = np.log(0.05)
+    scene["log_scales"][62:64] = np.log(5.0)  # > 0.1 * scene_radius(=10)
+    buf = buffer_from_scene(scene)
+
+    pd = PruneConfig(start_after=0, prune_every=2, stop_after=4,
+                     removal_opacity_threshold=0.005,
+                     final_removal_opacity_threshold=0.9,
+                     remove_big_after=100)
+    cfg = MapperConfig(prune_gaussians=True, prune=pd)
+
+    # iteration 1: schedule does not fire
+    buf1, n1 = prune_phase(buf, cfg, iteration=1, scene_radius=10.0)
+    assert int(n1) == 0 and int(buf1.num_active()) == int(buf.num_active())
+
+    # iteration 2: low-opacity removal only (remove_big_after not reached)
+    buf2, n2 = prune_phase(buf, cfg, iteration=2, scene_radius=10.0)
+    assert int(n2) == 32
+    assert int(buf2.num_active()) == int(buf.num_active()) - 32
+
+    # iteration 4 == stop_after: final (0.9) threshold removes sigmoid(2)~.88 too
+    buf4, n4 = prune_phase(buf, cfg, iteration=4, scene_radius=10.0)
+    assert int(n4) == 64
+
+    # too-big branch: active after remove_big_after
+    pd_big = PruneConfig(start_after=0, prune_every=2, stop_after=100,
+                         remove_big_after=0)
+    cfg_big = MapperConfig(prune_gaussians=True, prune=pd_big)
+    bufb, nb = prune_phase(buf, cfg_big, iteration=2, scene_radius=10.0)
+    assert int(nb) == 34  # 32 low-opacity + 2 huge
+
+    # opacity reset
+    pd_r = PruneConfig(prune_every=10**9, start_after=10**9, stop_after=10**9,
+                       reset_opacities=True, reset_opacities_every=3)
+    cfg_r = MapperConfig(prune_gaussians=True, prune=pd_r)
+    bufr, nr = prune_phase(buf, cfg_r, iteration=3, scene_radius=10.0)
+    assert int(nr) == 0
+    act = np.asarray(bufr.active)
+    op = jax.nn.sigmoid(np.asarray(bufr.params.logit_opacities))
+    np.testing.assert_allclose(np.asarray(op)[act], 0.01, atol=1e-6)

@@ -1,0 +1,188 @@
+"""Planner FSM failure paths on a scripted world: forced ESCAPE (success and
+exhaustion), the too-far target deferral, and the all-unarrived-failed weight
+retune (reference behaviors: planner_node.py:775-867, 345-473, 1150-1164)."""
+
+import numpy as np
+import pytest
+
+from activesplat_tpu.runtime.bus import Bus
+from activesplat_tpu.runtime.planner_fsm import (
+    FORWARD,
+    WEIGHTS_INIT,
+    PlannerFSM,
+    PlannerState,
+)
+
+GRID = 100
+MPP = 0.05  # world is 5m x 5m
+
+
+def plus_corridor_map():
+    """A + of two 13px-wide corridors: its Voronoi graph has a junction node
+    at the center."""
+    free = np.zeros((GRID, GRID), bool)
+    free[44:57, 4:97] = True  # horizontal arm (v band)
+    free[4:97, 44:57] = True  # vertical arm (u band)
+    return free
+
+
+def pose_c2w(u, v, height=1.25):
+    """Identity-rotation OpenCV camera at grid pixel (u, v): heading +u."""
+    c2w = np.eye(4)
+    # world_dim_index=(2,0): u <- z / mpp, v <- (x_max - x) / mpp
+    c2w[:3, 3] = [5.0 - v * MPP, height, u * MPP]
+    return c2w
+
+
+class ScriptedWorld:
+    """Bus services for a static scripted occupancy world."""
+
+    def __init__(self, bus: Bus, free_map: np.ndarray, tmp_path):
+        self.bus = bus
+        self.free_map = free_map
+        self.forward_count = 0
+        self.fail_counter = 0
+        self.block_forward = False
+        bus.register_service(
+            "get_dataset_config",
+            lambda: {
+                "results_dir": str(tmp_path),
+                "agent_turn_angle": 10.0,
+                "agent_tilt_angle": 15.0,
+                "agent_radius": 0.1,
+                "agent_forward_step_size": 0.065,
+                "rgbd_position": np.array([0.0, 1.25, 0.0]),
+            },
+        )
+        bus.register_service(
+            "get_topdown_config",
+            lambda: {
+                "world_dim_index": (2, 0),
+                "world_2d_bbox": ((0.0, 5.0), (0.0, 5.0)),
+                "grid_map_shape": (GRID, GRID),
+                "meter_per_pixel": MPP,
+            },
+        )
+        bus.register_service(
+            "get_topdown",
+            lambda arrived: {
+                "free_map": self.free_map,
+                "visible_map": self.free_map,
+            },
+        )
+        bus.register_service(
+            "get_opacity",
+            lambda arrived, positions, nodes: {
+                "targets_frustums_invisibility": np.full(len(nodes), 25.0),
+                "targets_frustums_volume": np.ones(len(nodes)),
+            },
+        )
+        bus.register_service("set_mapper", lambda *a, **k: True)
+        bus.subscribe("cmd_vel", self._on_cmd_vel)
+
+    def _on_cmd_vel(self, twist):
+        if twist["linear"][0] <= 0:
+            return  # turns/tilts always "succeed" silently
+        self.forward_count += 1
+        if self.block_forward:
+            self.fail_counter += 1
+            self.bus.publish("movement_fail_times", self.fail_counter)
+        else:
+            self.fail_counter = 0
+            self.bus.publish("movement_fail_times", 0)
+
+
+def make_fsm(tmp_path, free_map=None, **kwargs):
+    bus = Bus()
+    world = ScriptedWorld(bus, plus_corridor_map() if free_map is None else free_map, tmp_path)
+    bus.publish("camera_pose", pose_c2w(10, 50))
+    fsm = PlannerFSM(bus, seed=1, **kwargs)
+    return bus, world, fsm
+
+
+def test_movement_failure_forces_escape(tmp_path):
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm.state = PlannerState.NAVIGATE
+    fsm.navigation_path = np.array([[80.0, 50.0]])
+
+    bus.publish("movement_fail_times", 1)
+    assert fsm.escape_requested
+    # the unreachable target is remembered as a fail vertex
+    assert len(fsm.fail_vertices) == 1
+    np.testing.assert_allclose(fsm.fail_vertices[-1], [80.0, 50.0])
+
+    fsm.tick()
+    assert fsm.state == PlannerState.ESCAPE
+
+
+def test_escape_success_replans(tmp_path):
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm.state = PlannerState.NAVIGATE
+    fsm.navigation_path = np.array([[80.0, 50.0]])
+    bus.publish("movement_fail_times", 1)
+    fsm.tick()
+    assert fsm.state == PlannerState.ESCAPE
+
+    # world lets the forward probe through; rotation already observed here so
+    # the FSM replans globally instead of local-refining
+    world.block_forward = False
+    fsm.rotation_observed_px = fsm.pose["px"][None].copy()
+    fsm.tick()
+    assert fsm.state == PlannerState.SELECT_TARGET
+    assert world.forward_count >= 1
+    assert fsm.movement_fail_times == 0
+
+
+def test_escape_exhaustion_records_inaccessible(tmp_path):
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm.state = PlannerState.NAVIGATE
+    fsm.navigation_path = np.array([[80.0, 50.0]])
+    bus.publish("movement_fail_times", 1)
+    fsm.tick()
+    assert fsm.state == PlannerState.ESCAPE
+
+    world.block_forward = True
+    fsm.tick()
+    # every probed direction failed: they are in the inaccessible database
+    # for this position, and the FSM falls back to target selection
+    assert fsm.state == PlannerState.SELECT_TARGET
+    assert len(fsm.inaccessible_db) == 1
+    blocked = next(iter(fsm.inaccessible_db.values()))
+    assert len(blocked) >= 1 and world.forward_count >= 1
+
+
+def test_too_far_target_deferred_but_still_taken(tmp_path):
+    """Targets beyond step_num_as_too_far are skipped in the scoring loop but
+    kept as a deferred fallback; with no near target the deferred one is
+    navigated to anyway (planner_node.py:345-473 semantics)."""
+    bus, world, fsm = make_fsm(tmp_path, step_num_as_too_far=2)
+    fsm.state = PlannerState.SELECT_TARGET
+    fsm.tick()
+    assert fsm.state == PlannerState.NAVIGATE, fsm.state
+    assert fsm.navigation_path is not None
+    # the accepted path is longer than the too-far limit -> it can only have
+    # come through the deferred branch
+    limit_px = fsm.max_steps_to_target * fsm.step_px
+    path = np.vstack([fsm.pose["px"], fsm.navigation_path])
+    length = float(np.sum(np.linalg.norm(np.diff(path, axis=0), axis=1)))
+    assert length > limit_px
+
+
+def test_all_unarrived_failed_retunes_weights(tmp_path):
+    bus, world, fsm = make_fsm(tmp_path)
+    assert fsm.weights == WEIGHTS_INIT
+    assert fsm._refresh_maps(arrived=True)
+    fsm._refresh_graph(arrived=False)  # build the graph without scoring
+    assert fsm.vg is not None and len(fsm.vg.nodes_index) >= 1
+
+    # mark every node as failed; none visited -> all unarrived nodes failed
+    fsm.fail_vertices = fsm.vg.vertices[np.asarray(fsm.vg.nodes_index)].copy()
+    fsm.visited_px = np.array([[2.0, 2.0]])
+    fsm._score_nodes()
+
+    assert fsm.weights["OPACITY_INVISIBILITY"] == 10
+    assert fsm.weights["HOLE_INVISIBILITY"] == 10
+    assert fsm.weights["IN_HORIZON"] == -1
+    assert len(fsm.fail_vertices) == 0
+    # FAIL flag cleared: no node carries the -60 penalty
+    assert np.all(fsm.nodes_score > -60)

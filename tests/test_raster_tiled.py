@@ -122,3 +122,36 @@ def test_tiled_gradients(rng):
         g = np.asarray(g)
         assert np.all(np.isfinite(g))
     assert np.abs(np.asarray(grads[2])).max() > 0
+
+
+def test_pallas_backend_non_multiple_k(rng):
+    """k_per_tile not a multiple of SEG (e.g. 100): the wrapper pads the
+    per-tile lists and the Pallas blend (interpret on CPU) matches XLA."""
+    scene = random_scene(rng, 150)
+    proj, opac, channels = project_scene(scene)
+    a_x, l_x, d_x = run_tiled(proj, opac, channels, k=100)
+    kw = dict(
+        width=W, height=H, k_per_tile=100, backend="pallas"
+    )
+    a_p, l_p, d_p = rasterize_tiled(
+        proj.mean2d, proj.conic, opac, channels, proj.valid,
+        proj.radius, proj.depth, **kw,
+    )
+    assert int(d_p) == int(d_x)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), atol=0.05)
+
+
+def test_pallas_backend_channel_cap(rng):
+    """> 8 channels must fail loudly on the pallas backend."""
+    import pytest
+
+    scene = random_scene(rng, 32)
+    proj, opac, channels = project_scene(scene)
+    wide = jnp.concatenate([channels, channels], -1)  # 10 channels
+    with pytest.raises(ValueError, match="at most 8 channels"):
+        rasterize_tiled(
+            proj.mean2d, proj.conic, opac, wide, proj.valid,
+            proj.radius, proj.depth,
+            width=W, height=H, k_per_tile=64, backend="pallas",
+        )
