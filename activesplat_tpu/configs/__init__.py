@@ -12,10 +12,34 @@ CONFIG_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def load_scene_config(name_or_path: str) -> dict:
-    """Load a scene JSON by name (bundled) or path."""
+    """Load a scene JSON by name (bundled synthetic configs at the top level,
+    Gibson/MP3D benchmark configs under datasets/ — ports of the reference's
+    config/datasets/*.json) or by path."""
     path = name_or_path
     if not os.path.exists(path):
-        path = os.path.join(CONFIG_DIR, f"{name_or_path}.json")
+        for candidate in (
+            os.path.join(CONFIG_DIR, f"{name_or_path}.json"),
+            os.path.join(CONFIG_DIR, "datasets", f"{name_or_path}.json"),
+        ):
+            if os.path.exists(candidate):
+                path = candidate
+                break
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def load_scene_list(name: str) -> list:
+    """Benchmark scene list (ports of scripts/batch/*.txt: gibson_small,
+    gibson_big, mp3d_small, mp3d_big)."""
+    path = os.path.join(CONFIG_DIR, "batch", f"{name}.txt")
+    with open(path) as fh:
+        return [line.strip() for line in fh if line.strip()]
+
+
+def load_user_config(path: str | None = None) -> dict:
+    """Dataset-roots config (config/.templates/user_config.json layout)."""
+    if path is None:
+        path = os.path.join(CONFIG_DIR, "user_config.template.json")
     with open(path) as fh:
         return json.load(fh)
 

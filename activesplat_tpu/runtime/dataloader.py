@@ -94,6 +94,25 @@ def twist_to_action(twist: Dict[str, np.ndarray]) -> Optional[SimAction]:
     return None
 
 
+def action_to_twist(action: SimAction) -> Dict[str, np.ndarray]:
+    """Inverse of twist_to_action: the twist the planner would publish for a
+    discrete action (used by the REPLAY mode to drive recorded actions.txt
+    through the live cmd_vel path)."""
+    linear = np.zeros(3)
+    angular = np.zeros(3)
+    if action == SimAction.TURN_LEFT:
+        angular[2] = 0.2
+    elif action == SimAction.TURN_RIGHT:
+        angular[2] = -0.2
+    elif action == SimAction.LOOK_DOWN:
+        angular[1] = 1.0
+    elif action == SimAction.LOOK_UP:
+        angular[1] = -1.0
+    elif action == SimAction.MOVE_FORWARD:
+        linear[0] = 0.2
+    return {"linear": linear, "angular": angular}
+
+
 class SyntheticDataset:
     """BoxWorld-backed discrete agent with Habitat pointnav dynamics
     (turn 10 deg, tilt 15 deg, forward 0.065 m, no sliding — the benchmark
@@ -275,19 +294,12 @@ def habitat_available() -> bool:
         return False
 
 
-class HabitatDataset:
-    """Real Habitat-sim backend (requires the habitat wheels; behavioral
-    contract identical to SyntheticDataset). Not available in this
-    environment — constructor raises with guidance."""
+def __getattr__(name):
+    # Lazy re-export: the full adapter lives in runtime/habitat_backend.py
+    # (code-complete, import-gated on the habitat wheels; unit-tested with a
+    # mock simulator).
+    if name in ("HabitatDataset", "get_dataset", "DatasetFormat"):
+        from activesplat_tpu.runtime import habitat_backend
 
-    def __init__(self, *args, **kwargs):
-        if not habitat_available():
-            raise ImportError(
-                "habitat-sim / habitat-lab are not installed. Install the "
-                "v0.2.3 wheels (reference README setup) or use "
-                "SyntheticDataset for hermetic runs."
-            )
-        raise NotImplementedError(
-            "Habitat backend wiring lands when habitat wheels are present; "
-            "the SyntheticDataset implements the same interface."
-        )
+        return getattr(habitat_backend, name)
+    raise AttributeError(name)

@@ -94,6 +94,44 @@ def run_episode(
     return mapper_node, planner
 
 
+def run_replay(
+    dataset: SyntheticDataset,
+    actions_path: str,
+    results_dir: str,
+    mapper_cfg: Optional[MapperConfig] = None,
+    pixel_max: int = 360,
+    save_dataset: bool = True,
+    pano_scale: float = 1.0,
+):
+    """REPLAY mode: drive a recorded actions.txt through the full mapper via
+    the live cmd_vel path — no planner (reference: habitat.launch mode/actions
+    args + GlobalState.REPLAY, visualizer.py frame loop). Returns the
+    mapper node."""
+    from activesplat_tpu.io.actions import read_actions
+    from activesplat_tpu.runtime.dataloader import SimAction, action_to_twist
+    from activesplat_tpu.utils import GlobalState
+
+    mapper_cfg = mapper_cfg or MapperConfig()
+    bus = Bus()
+    mapper_node = MapperNode(
+        bus,
+        dataset,
+        mapper_cfg,
+        results_dir,
+        pixel_max=pixel_max,
+        save_dataset=save_dataset,
+        pano_scale=pano_scale,
+    )
+    mapper_node.global_state = GlobalState.REPLAY
+    for action in read_actions(actions_path):
+        if mapper_node.global_state == GlobalState.QUIT:
+            break
+        bus.publish("cmd_vel", action_to_twist(SimAction(action)))
+    mapper_node.finish()
+    dataset.close()
+    return mapper_node
+
+
 def main():
     parser = argparse.ArgumentParser(description="ActiveSplat-TPU episode launcher")
     parser.add_argument("--scene_id", default="two_room")
@@ -105,6 +143,14 @@ def main():
     parser.add_argument("--pixel_max", type=int, default=360)
     parser.add_argument("--save_runtime_data", type=int, default=0)
     parser.add_argument("--config", type=str, default=None, help="dataset JSON config")
+    parser.add_argument(
+        "--mode",
+        default="auto",
+        choices=["auto", "replay"],
+        help="auto: planner-driven exploration; replay: re-run --actions "
+        "through the mapper (reference habitat.launch mode arg)",
+    )
+    parser.add_argument("--actions", type=str, default=None, help="actions.txt for replay mode")
     args = parser.parse_args()
 
     kw = {}
@@ -120,14 +166,21 @@ def main():
         step_num=kw.get("step_num", args.step_num),
         width=args.width,
         height=args.height,
-        results_dir=args.results_dir,
+        results_dir=args.results_dir if args.mode == "auto" else None,
     )
-    mapper_node, planner = run_episode(
-        dataset,
-        args.results_dir,
-        pixel_max=args.pixel_max,
-        save_runtime_data=bool(args.save_runtime_data),
-    )
+    if args.mode == "replay":
+        if not args.actions:
+            parser.error("--mode replay requires --actions")
+        mapper_node = run_replay(
+            dataset, args.actions, args.results_dir, pixel_max=args.pixel_max
+        )
+    else:
+        mapper_node, planner = run_episode(
+            dataset,
+            args.results_dir,
+            pixel_max=args.pixel_max,
+            save_runtime_data=bool(args.save_runtime_data),
+        )
     print("episode finished:", mapper_node.mapper.num_gaussians(), "gaussians")
 
 

@@ -94,6 +94,7 @@ class MapperNode:
         bus.register_service("set_mapper", self._set_mapper)
         bus.register_service("reset_env", self._reset_env)
         bus.subscribe("cmd_vel", self._on_cmd_vel)
+        bus.subscribe("frames", self._on_frames)
 
         # map the first frame immediately (reference maps frame 0 on startup)
         self.mapper.run(frame0)
@@ -140,6 +141,29 @@ class MapperNode:
         self._publish_pose(frame)
         if self.dataset.is_finished():
             self.finish()
+
+    def _on_frames(self, frame: Dict[str, np.ndarray]) -> None:
+        """External-sensor mode: map a frame published on the 'frames' topic
+        instead of one stepped from the owned simulator (role of
+        __frame_callback, visualizer.py:2044-2115). The frame dict carries
+        rgb (H,W,3 float), depth (H,W meters), c2w, and optionally
+        pose_data_type for on-the-fly convention conversion."""
+        if self._finished:
+            return
+        from activesplat_tpu.utils import PoseDataType, convert_to_c2w_opencv
+
+        c2w = np.asarray(frame["c2w"], np.float64)
+        pdt = frame.get("pose_data_type", "C2W_OPENCV")
+        c2w = convert_to_c2w_opencv(c2w, PoseDataType(pdt))
+        msg = {
+            "rgb": frame["rgb"],
+            "depth": frame["depth"],
+            "c2w": c2w,
+            "frame_id": frame.get("frame_id", self.mapper.tracking_idx),
+        }
+        self.mapper.run(msg)
+        self.last_frame = msg
+        self._publish_pose(msg)
 
     def finish(self) -> None:
         if self._finished:

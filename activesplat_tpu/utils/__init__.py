@@ -33,6 +33,26 @@ class GlobalState(Enum):
     QUIT = "QUIT"
 
 
+class PoseDataType(Enum):
+    """Pose convention tags (reference: src/dataloader/__init__.py:27-32)."""
+
+    C2W_OPENCV = "C2W_OPENCV"
+    C2W_OPENGL = "C2W_OPENGL"
+    W2C_OPENCV = "W2C_OPENCV"
+    W2C_OPENGL = "W2C_OPENGL"
+
+
+def convert_to_c2w_opencv(pose: np.ndarray, pose_data_type: PoseDataType) -> np.ndarray:
+    """Any tagged pose -> OpenCV c2w (convert_to_c2w_opencv,
+    src/dataloader/__init__.py:46-53)."""
+    pose = np.asarray(pose, np.float64)
+    if pose_data_type in (PoseDataType.C2W_OPENGL, PoseDataType.W2C_OPENGL):
+        pose = OPENCV_TO_OPENGL @ pose @ OPENCV_TO_OPENGL
+    if pose_data_type in (PoseDataType.W2C_OPENCV, PoseDataType.W2C_OPENGL):
+        pose = np.linalg.inv(pose)
+    return pose
+
+
 class Timer:
     """Accumulating wall-clock stage timer.
 

@@ -1,0 +1,238 @@
+"""Habitat adapter contract against a mock simulator (the habitat wheels are
+absent in this image; the adapter is code-complete and import-gated —
+reference behaviors: src/dataloader/dataloader.py:34-300)."""
+
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+
+from activesplat_tpu.configs import (
+    CONFIG_DIR,
+    load_scene_config,
+    load_scene_list,
+    load_user_config,
+    mapper_config_from_scene,
+)
+from activesplat_tpu.runtime.dataloader import SimAction
+from activesplat_tpu.runtime.habitat_backend import (
+    DatasetFormat,
+    HabitatDataset,
+    HabitatEnvSpec,
+    get_dataset,
+    scene_mesh_urls,
+)
+
+ENV_YAML = os.path.join(CONFIG_DIR, "env", "activesplat_pointnav.yaml")
+
+
+class _Quat:
+    def __init__(self, w, x, y, z):
+        self.w, self.x, self.y, self.z = w, x, y, z
+
+
+class FakeSim:
+    """Minimal habitat-sim stand-in: y-up world, yaw about +y, blocked beyond
+    x > 1.0 (no sliding)."""
+
+    def __init__(self, spec):
+        self.spec = spec
+        self.actions = []
+        self.closed = False
+        self._seed = None
+        self.reset()
+
+    def seed(self, value):
+        self._seed = value
+
+    def reset(self):
+        self.position = np.zeros(3)
+        self.yaw = 0.0
+
+    def close(self):
+        self.closed = True
+
+    def step(self, action):
+        self.actions.append(action)
+        if action == int(SimAction.TURN_LEFT):
+            self.yaw += np.deg2rad(self.spec.turn_angle)
+        elif action == int(SimAction.TURN_RIGHT):
+            self.yaw -= np.deg2rad(self.spec.turn_angle)
+        elif action == int(SimAction.MOVE_FORWARD):
+            fwd = np.array([np.sin(self.yaw), 0.0, -np.cos(self.yaw)])
+            target = self.position + fwd * self.spec.forward_step_size
+            if target[0] <= 0.3:  # wall at x = 0.3
+                self.position = target
+
+    def get_sensor_observations(self):
+        h, w = self.spec.height, self.spec.width
+        rgb = np.full((h, w, 4), 128, np.uint8)  # habitat returns RGBA
+        depth = np.full((h, w, 1), 3.0, np.float32)
+        depth[0, 0] = -0.5  # below min (0.0, strict <) -> filtered
+        depth[0, 1] = 99.0  # beyond max -> filtered
+        return {"rgb": rgb[..., :3], "depth": depth}
+
+    def get_agent_state(self):
+        half = self.yaw / 2.0
+        q = _Quat(np.cos(half), 0.0, np.sin(half), 0.0)  # yaw about +y
+        sensor_pos = self.position + np.asarray(self.spec.position)
+        state = types.SimpleNamespace(
+            position=self.position.copy(),
+            rotation=q,
+            sensor_states={
+                "rgb": types.SimpleNamespace(position=sensor_pos, rotation=q),
+                "depth": types.SimpleNamespace(position=sensor_pos, rotation=q),
+            },
+        )
+        return state
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    ds = HabitatDataset(
+        env_config_path=ENV_YAML,
+        scene_id="Denmark",
+        dataset_format="gibson",
+        dataset_root="/data/gibson",
+        step_num=20,
+        results_dir=str(tmp_path),
+        sim_factory=lambda cfg: FakeSim(cfg["spec"]),
+    )
+    ds.setup()
+    return ds
+
+
+def test_env_spec_parsing():
+    spec = HabitatEnvSpec.from_yaml(ENV_YAML)
+    assert (spec.width, spec.height) == (256, 256)
+    assert spec.hfov_deg == 90.0
+    assert spec.position == (0.0, 1.25, 0.0)
+    assert (spec.depth_min, spec.depth_max) == (0.0, 10.0)
+    assert (spec.turn_angle, spec.tilt_angle) == (10.0, 15.0)
+    assert spec.forward_step_size == 0.065
+    assert not spec.allow_sliding
+
+
+def test_intrinsics_quirk():
+    """Habitat principal point: cx = W/2 - 1, cy = H/2 - 1, fy = fx
+    (src/dataloader/__init__.py:275-284)."""
+    spec = HabitatEnvSpec.from_yaml(ENV_YAML)
+    s = spec.sensor(depth_scale=1.0)
+    assert s.cx == 256 / 2 - 1 and s.cy == 256 / 2 - 1
+    np.testing.assert_allclose(s.fx, 0.5 * 256 / np.tan(np.deg2rad(45.0)))
+    assert s.fx == s.fy
+    # downsample scales intrinsics with the resolution
+    s2 = spec.sensor(depth_scale=1.0, downsample=2.0)
+    assert (s2.width, s2.height) == (128, 128)
+    np.testing.assert_allclose(s2.fx, s.fx / 2)
+    np.testing.assert_allclose(s2.cx, s.cx / 2)
+
+
+def test_get_frame_contract(dataset):
+    frame = dataset.get_frame()
+    assert frame["frame_id"] == 0
+    assert frame["rgb"].shape == (256, 256, 3)
+    assert frame["rgb"].dtype == np.float32
+    np.testing.assert_allclose(frame["rgb"][5, 5], 128 / 255.0)
+    assert frame["depth"].shape == (256, 256)
+    # DepthFilter: out-of-range pixels zeroed
+    assert frame["depth"][0, 0] == 0.0 and frame["depth"][0, 1] == 0.0
+    np.testing.assert_allclose(frame["depth"][5, 5], 3.0)
+    # c2w: sensor position offset (h = 1.25) and identity-yaw rotation
+    np.testing.assert_allclose(frame["c2w"][:3, 3], [0.0, 1.25, 0.0])
+    np.testing.assert_allclose(frame["c2w"][:3, :3], np.eye(3), atol=1e-6)
+    assert dataset.get_frame()["frame_id"] == 1
+
+
+def test_apply_movement_contract(dataset, tmp_path):
+    # twist -> habitat action ids; actions.txt records them
+    assert dataset.apply_movement({"linear": np.zeros(3), "angular": np.array([0, 0, 0.2])})
+    assert dataset.apply_movement({"linear": np.array([0.2, 0, 0]), "angular": np.zeros(3)})
+    assert not dataset.apply_movement({"linear": np.zeros(3), "angular": np.zeros(3)})
+    sim = dataset._sim
+    assert sim.actions == [int(SimAction.TURN_LEFT), int(SimAction.MOVE_FORWARD)]
+    with open(os.path.join(str(tmp_path), "actions.txt")) as fh:
+        assert [int(x) for x in fh.read().split()] == sim.actions
+    assert dataset.get_step_info() == (2, 20)
+
+    # pose rotates with the sim: after a left turn the c2w heading changed
+    frame = dataset.get_frame()
+    assert abs(frame["c2w"][0, 2]) > 0.1
+
+    # blocked forward (wall at x=0.3, no sliding) -> False
+    for _ in range(8):  # turn to face +x
+        dataset.apply_movement({"linear": np.zeros(3), "angular": np.array([0, 0, 0.2])})
+    moved = True
+    for _ in range(8):
+        moved = dataset.apply_movement(
+            {"linear": np.array([0.2, 0, 0]), "angular": np.zeros(3)}
+        )
+        if not moved:
+            break
+    assert not moved  # eventually blocked at the wall
+
+    # step budget exhausts -> is_finished
+    while not dataset.is_finished():
+        dataset.apply_movement({"linear": np.zeros(3), "angular": np.array([0, 0, 0.2])})
+    steps, budget = dataset.get_step_info()
+    assert steps == budget == 20
+    assert not dataset.step(SimAction.TURN_LEFT)
+
+
+def test_dataset_config_payload(dataset):
+    cfg = dataset.dataset_config("/results")
+    assert cfg["pose_data_type"] == "C2W_OPENCV"
+    assert cfg["agent_turn_angle"] == 10.0
+    assert cfg["agent_forward_step_size"] == 0.065
+    assert cfg["width"] == cfg["height"] == 256
+    np.testing.assert_allclose(cfg["rgbd_position"], [0, 1.25, 0])
+    assert cfg["scene_mesh_url"].endswith("Denmark.glb")
+
+
+def test_scene_mesh_layouts():
+    hab, mesh = scene_mesh_urls(DatasetFormat.GIBSON, "/g", "Denmark")
+    assert hab == mesh == "/g/Denmark.glb"
+    hab, mesh = scene_mesh_urls(DatasetFormat.MP3D, "/m", "gZ6f7yhEvPG")
+    assert hab == "/m/v1/tasks/gZ6f7yhEvPG/gZ6f7yhEvPG.glb"
+    assert mesh.endswith("gZ6f7yhEvPG_semantic.ply")
+
+
+def test_get_dataset_factory(tmp_path):
+    cfg = load_scene_config("gibson")
+    user = load_user_config()
+    ds = get_dataset(
+        cfg,
+        user,
+        scene_id="Elmira",
+        results_root=str(tmp_path),
+        sim_factory=lambda c: FakeSim(c["spec"]),
+    )
+    ds.setup()
+    assert ds.get_scene_id() == "Elmira"
+    assert ds.step_num == 1000
+    # config.json dumped into the timestamped results dir
+    runs = os.listdir(os.path.join(str(tmp_path), "results"))
+    assert len(runs) == 1 and "gibson_Elmira" in runs[0]
+    with open(os.path.join(str(tmp_path), "results", runs[0], "config.json")) as fh:
+        assert json.load(fh)["dataset"]["format"] == "gibson"
+
+
+def test_benchmark_config_surface():
+    """Every ported dataset config resolves to a runnable MapperConfig and
+    the scene lists carry the 13-scene benchmark protocol."""
+    for name in ("gibson", "mp3d", "gibson_large", "mp3d_large",
+                 "gibson_high_resolution"):
+        cfg = load_scene_config(name)
+        mc = mapper_config_from_scene(cfg)
+        assert mc.map_every == 5 and mc.mapping_window_size == 12
+        expected_iters = 10 if name == "gibson_high_resolution" else 2
+        assert mc.mapping_iters == expected_iters
+    assert load_scene_config("gibson_large")["dataset"]["step_num"] == 2000
+    assert load_scene_config("mp3d")["dataset"]["format"] == "mp3d"
+    scenes = sum(
+        (load_scene_list(n) for n in
+         ("gibson_small", "gibson_big", "mp3d_small", "mp3d_big")), []
+    )
+    assert len(scenes) == 13 and "Denmark" in scenes and "GdvgFV5R1Z5" in scenes

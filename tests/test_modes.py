@@ -1,0 +1,148 @@
+"""REPLAY mode, external-frames mode, and the offline-fit entry point
+(reference: habitat.launch mode/actions args; visualizer.py:2044-2115 frames
+topic; the SplaTAM offline path)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.runtime.dataloader import (
+    RGBDSensor,
+    SimAction,
+    SyntheticDataset,
+)
+from activesplat_tpu.runtime.launch import run_replay
+from activesplat_tpu.runtime.offline_fit import fit_offline
+from activesplat_tpu.runtime.synthetic import BoxWorld
+
+SMALL_CFG = MapperConfig(
+    initial_capacity=1 << 11,
+    max_capacity=1 << 11,
+    keyframe_capacity=16,
+    mapping_iters=2,
+    map_every=2,
+    kf_every=2,
+    mapping_window_size=4,
+    chunk=128,
+    k_per_tile=0,
+    kf_select_pixels=64,
+)
+
+
+def make_dataset(results_dir, step_num=8):
+    world = BoxWorld.single_room(seed=7)
+    sensor = RGBDSensor.from_fov(32, 32, 90.0, depth_min=0.0, depth_max=10.0)
+    return SyntheticDataset(
+        world,
+        sensor,
+        step_num=step_num,
+        start_position=np.array([3.0, 0.0, 3.0]),
+        turn_angle_deg=45.0,
+        results_dir=results_dir,
+    )
+
+
+@pytest.fixture(scope="module")
+def recorded(tmp_path_factory):
+    """A tiny recorded episode: actions.txt + gaussians_data dump."""
+    results_dir = str(tmp_path_factory.mktemp("rec"))
+    from activesplat_tpu.runtime.bus import Bus
+    from activesplat_tpu.runtime.mapper_node import MapperNode
+    from activesplat_tpu.runtime.dataloader import action_to_twist
+
+    dataset = make_dataset(results_dir)
+    bus = Bus()
+    node = MapperNode(bus, dataset, SMALL_CFG, results_dir, pixel_max=40)
+    script = [SimAction.TURN_LEFT] * 6 + [SimAction.MOVE_FORWARD] * 2
+    for action in script:
+        bus.publish("cmd_vel", action_to_twist(action))
+    node.finish()
+    dataset.close()
+    return results_dir, node, script
+
+
+def test_replay_mode(recorded, tmp_path):
+    results_dir, node, script = recorded
+    replay_dir = str(tmp_path / "replay")
+    replay_node = run_replay(
+        make_dataset(None),
+        os.path.join(results_dir, "actions.txt"),
+        replay_dir,
+        mapper_cfg=SMALL_CFG,
+        pixel_max=40,
+        save_dataset=False,
+    )
+    # same actions -> same trajectory -> same frame count and a live map
+    assert replay_node.mapper.mapping_frame_time_count == len(script) + 1
+    assert replay_node.mapper.num_gaussians() > 100
+    # params.npz written through post_processing
+    assert os.path.exists(
+        os.path.join(replay_dir, "gaussians_data", "params.npz")
+    )
+    # deterministic sim + same actions: identical final pose
+    np.testing.assert_allclose(
+        replay_node.mapper.est_c2w[-1], node.mapper.est_c2w[-1], atol=1e-12
+    )
+
+
+def test_external_frames_topic(tmp_path):
+    """Frames published on the 'frames' topic drive the mapper without the
+    owned simulator stepping."""
+    from activesplat_tpu.runtime.bus import Bus
+    from activesplat_tpu.runtime.mapper_node import MapperNode
+    from activesplat_tpu.utils import OPENCV_TO_OPENGL
+
+    dataset = make_dataset(None, step_num=4)
+    bus = Bus()
+    node = MapperNode(bus, dataset, SMALL_CFG, str(tmp_path), pixel_max=40,
+                      save_dataset=False)
+    frames_before = node.mapper.mapping_frame_time_count
+    ext = make_dataset(None, step_num=4)
+    ext.step(SimAction.TURN_LEFT)
+    frame = ext.get_frame()
+    bus.publish(
+        "frames",
+        {"rgb": frame["rgb"], "depth": frame["depth"], "c2w": frame["c2w"]},
+    )
+    assert node.mapper.mapping_frame_time_count == frames_before + 1
+    # pose-convention conversion applied for tagged OpenGL poses
+    gl_pose = np.asarray(frame["c2w"], np.float64)
+    gl_pose = OPENCV_TO_OPENGL @ gl_pose @ OPENCV_TO_OPENGL
+    bus.publish(
+        "frames",
+        {
+            "rgb": frame["rgb"],
+            "depth": frame["depth"],
+            "c2w": gl_pose,
+            "pose_data_type": "C2W_OPENGL",
+        },
+    )
+    np.testing.assert_allclose(
+        node.mapper.est_c2w[-1], node.mapper.est_c2w[-2], atol=1e-9
+    )
+
+
+def test_offline_fit_entry(recorded, tmp_path):
+    results_dir, _, _ = recorded
+    out = str(tmp_path / "fit")
+    import dataclasses
+
+    fit_cfg = dataclasses.replace(
+        SMALL_CFG,
+        initial_capacity=1 << 13,
+        max_capacity=1 << 13,
+        map_every=1,
+        mapping_iters=6,
+    )
+    metrics = fit_offline(
+        os.path.join(results_dir, "gaussians_data"),
+        fit_cfg,
+        out_dir=out,
+    )
+    assert metrics["num_frames"] == 9
+    assert metrics["psnr"] > 15, metrics
+    assert metrics["depth_l1"] < 0.5, metrics
+    assert os.path.exists(os.path.join(out, "offline_fit_metrics.json"))
+    assert os.path.exists(os.path.join(out, "gaussians_data", "params.npz"))
