@@ -300,11 +300,7 @@ class SplaTAMMapper:
             and frame_id % self.checkpoint_interval == 0
         ):
             ckpt_dir = os.path.join(self.results_dir, "gaussians_data", "checkpoints")
-            save_params_ckpt(ckpt_dir, self.buf, frame_id)
-            np.save(
-                os.path.join(ckpt_dir, f"keyframe_time_indices{frame_id}.npy"),
-                np.array(self.keyframe_time_indices),
-            )
+            self.save_checkpoint(ckpt_dir, frame_id)
 
         self.mapping_frame_time_sum += time.time() - t_frame
         self.mapping_frame_time_count += 1
@@ -369,15 +365,96 @@ class SplaTAMMapper:
         print("Saved SplaTAM results to:", out_dir)
         return path
 
-    def load_map(self, params_path: str) -> None:
-        """Resume from a saved params.npz (the load_checkpoint knob the
-        reference declares but never wires, online_habitat_sim.py:10-11 —
-        here it works): restores the Gaussian buffer; trajectory bookkeeping
-        restarts from the next fed frame."""
+    def save_checkpoint(self, ckpt_dir: str, frame_id: int) -> str:
+        """Full mid-run checkpoint: the reference's params{t}.npz +
+        keyframe_time_indices{t}.npy layout (common_utils.py:61-68,
+        splatam/__init__.py:526-530) plus a mapper_state{t}.npz carrying the
+        keyframe store, trajectory bookkeeping, scene radius and PRNG key —
+        everything kill-and-resume needs (the reference declares a
+        load_checkpoint knob but never wires it; here it round-trips)."""
+        path = save_params_ckpt(ckpt_dir, self.buf, frame_id)
+        np.save(
+            os.path.join(ckpt_dir, f"keyframe_time_indices{frame_id}.npy"),
+            np.array(self.keyframe_time_indices),
+        )
+        count = int(self.store.count)
+        np.savez(
+            os.path.join(ckpt_dir, f"mapper_state{frame_id}.npz"),
+            kf_rgb=np.asarray(self.store.rgb[:count]),
+            kf_depth=np.asarray(self.store.depth[:count]),
+            kf_w2c=np.asarray(self.store.w2c[:count]),
+            kf_frame_id=np.asarray(self.store.frame_id[:count]),
+            est_c2w=np.asarray(self.est_c2w),
+            gt_w2c_rel=np.asarray(self.gt_w2c_rel),
+            cam_quats=np.asarray(self.cam_quats),
+            cam_trans=np.asarray(self.cam_trans),
+            keyframe_time_indices=np.array(self.keyframe_time_indices),
+            scene_radius=np.float64(self.scene_radius),
+            tracking_idx=np.int64(self.tracking_idx),
+            mapping_idx=np.int64(-1 if self.mapping_idx is None else self.mapping_idx),
+            first_pose_gl=(
+                np.zeros((0, 4)) if self._first_pose_gl is None else self._first_pose_gl
+            ),
+            rng_key=np.asarray(self.key),
+        )
+        return path
+
+    def load_map(self, params_path: str, state_path: Optional[str] = None) -> None:
+        """Resume from a saved params{t}.npz. With the sibling
+        mapper_state{t}.npz (written by save_checkpoint; auto-discovered),
+        the FULL mapper state is restored — keyframe store, trajectory,
+        scene radius, schedule counters, PRNG key — so a killed episode
+        continues exactly. With params only, the Gaussian buffer is restored
+        and bookkeeping restarts from the next fed frame."""
         from activesplat_tpu.io.params_io import buffer_from_params, load_params
 
         params = load_params(params_path)
-        self.buf = buffer_from_params(params, capacity=self.cfg.initial_capacity)
+        n = params["means3D"].shape[0]
+        capacity = self.cfg.initial_capacity
+        while capacity < n:  # run may have grown past the initial bucket
+            capacity *= 2
+        self.buf = buffer_from_params(params, capacity=capacity)
+
+        if state_path is None:
+            base = os.path.basename(params_path)
+            if base.startswith("params") and base.endswith(".npz"):
+                candidate = os.path.join(
+                    os.path.dirname(params_path),
+                    f"mapper_state{base[len('params'):-len('.npz')]}.npz",
+                )
+                if os.path.exists(candidate):
+                    state_path = candidate
+        if state_path is None:
+            return
+
+        with np.load(state_path) as st:
+            import jax.numpy as jnp
+
+            count = st["kf_rgb"].shape[0]
+            store = self.store
+            self.store = store.replace(
+                rgb=store.rgb.at[:count].set(jnp.asarray(st["kf_rgb"])),
+                depth=store.depth.at[:count].set(jnp.asarray(st["kf_depth"])),
+                w2c=store.w2c.at[:count].set(jnp.asarray(st["kf_w2c"])),
+                frame_id=store.frame_id.at[:count].set(
+                    jnp.asarray(st["kf_frame_id"])
+                ),
+                count=jnp.asarray(count, jnp.int32),
+            )
+            self.est_c2w = list(st["est_c2w"])
+            self.gt_w2c_rel = list(st["gt_w2c_rel"])
+            self.cam_quats = list(st["cam_quats"])
+            self.cam_trans = list(st["cam_trans"])
+            self.keyframe_time_indices = [
+                int(x) for x in st["keyframe_time_indices"]
+            ]
+            self.scene_radius = float(st["scene_radius"])
+            self.tracking_idx = int(st["tracking_idx"])
+            mi = int(st["mapping_idx"])
+            self.mapping_idx = None if mi < 0 else mi
+            if st["first_pose_gl"].size:
+                self._first_pose_gl = np.asarray(st["first_pose_gl"])
+            self.key = jnp.asarray(st["rng_key"], jnp.uint32)
 
     # ------------------------------------------------------------------ #
     # map-query renders (L3): panoramic invisibility + view renders

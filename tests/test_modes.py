@@ -146,3 +146,58 @@ def test_offline_fit_entry(recorded, tmp_path):
     assert metrics["depth_l1"] < 0.5, metrics
     assert os.path.exists(os.path.join(out, "offline_fit_metrics.json"))
     assert os.path.exists(os.path.join(out, "gaussians_data", "params.npz"))
+
+
+def test_full_resume(tmp_path):
+    """Kill-and-resume: a checkpoint at frame k restores buffer, keyframe
+    store, trajectory, scene radius and RNG, so continuing the same frame
+    stream reproduces the uninterrupted run."""
+    from activesplat_tpu.mapper.splatam import SplaTAMMapper
+    from activesplat_tpu.models.gaussians import make_camera
+    from activesplat_tpu.ops.render import render_jit
+    from activesplat_tpu.ops.ssim import psnr
+
+    dataset = make_dataset(None, step_num=10)
+    frames = [dataset.get_frame()]
+    for action in [SimAction.TURN_LEFT] * 5 + [SimAction.MOVE_FORWARD] * 2:
+        dataset.step(action)
+        frames.append(dataset.get_frame())
+
+    def new_mapper(results_dir=None, **kw):
+        return SplaTAMMapper(
+            SMALL_CFG, 32, 32, dataset.sensor.intrinsics,
+            step_num=len(frames) + 1, results_dir=results_dir,
+            save_dataset=False, **kw,
+        )
+
+    # uninterrupted run
+    full = new_mapper()
+    for f in frames:
+        full.run(dict(f))
+
+    # interrupted: checkpoint at frame 4, fresh mapper resumes 5..end
+    first = new_mapper(results_dir=str(tmp_path / "a"))
+    for f in frames[:5]:
+        first.run(dict(f))
+    ckpt_dir = str(tmp_path / "ckpt")
+    first.save_checkpoint(ckpt_dir, frame_id=4)
+
+    resumed = new_mapper()
+    resumed.load_map(os.path.join(ckpt_dir, "params4.npz"))
+    assert resumed.tracking_idx == 5
+    assert int(resumed.store.count) == int(first.store.count)
+    assert resumed.keyframe_time_indices == first.keyframe_time_indices
+    assert resumed.scene_radius == first.scene_radius
+    for f in frames[5:]:
+        resumed.run(dict(f))
+
+    assert resumed.num_gaussians() == full.num_gaussians()
+    assert len(resumed.est_c2w) == len(full.est_c2w)
+    # identical final render quality at a held pose
+    cam = make_camera(
+        32, 32, dataset.sensor.intrinsics,
+        np.linalg.inv(np.asarray(frames[0]["c2w"], np.float64)),
+    )
+    img_full = np.asarray(render_jit(full.buf, cam, chunk=128).rgb)
+    img_res = np.asarray(render_jit(resumed.buf, cam, chunk=128).rgb)
+    assert float(psnr(img_res, img_full)) > 40.0
