@@ -201,3 +201,20 @@ def test_full_resume(tmp_path):
     img_full = np.asarray(render_jit(full.buf, cam, chunk=128).rgb)
     img_res = np.asarray(render_jit(resumed.buf, cam, chunk=128).rgb)
     assert float(psnr(img_res, img_full)) > 40.0
+
+
+def test_eval_nvs_from_dump(recorded):
+    """NVS split eval (eval_nvs parity, eval_helpers.py:627-806): held-out
+    frames score the saved map with hole-validity gating."""
+    from activesplat_tpu.eval.nvs import eval_nvs_from_dump
+
+    results_dir, node, _ = recorded
+    gdir = os.path.join(results_dir, "gaussians_data")
+    metrics = eval_nvs_from_dump(
+        os.path.join(gdir, "params.npz"), gdir, holdout_every=5, chunk=128
+    )
+    assert metrics["num_eval_frames"] == 2
+    assert 0.0 <= metrics["valid_frame_ratio"] <= 1.0
+    if metrics["valid_frame_ratio"] > 0:
+        assert metrics["psnr"] > 10
+        assert metrics["depth_l1"] < 1.0
