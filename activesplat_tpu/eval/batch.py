@@ -24,6 +24,33 @@ SCENE_SETS: Dict[str, List[Dict]] = {
     ],
 }
 
+# the reference's 13-scene benchmark protocol: scene-list name ->
+# (dataset config, step budget) (run_batch_scenes.sh:13-21)
+HABITAT_SCENE_SETS: Dict[str, tuple] = {
+    "gibson_small": ("gibson", 1000),
+    "gibson_big": ("gibson_large", 2000),
+    "mp3d_small": ("mp3d", 1000),
+    "mp3d_big": ("mp3d_large", 2000),
+}
+
+
+def habitat_scene_specs(set_name: str) -> List[Dict]:
+    """Episode specs for a reference scene list (needs the habitat wheels to
+    actually run; the spec surface is importable everywhere)."""
+    from activesplat_tpu.configs import load_scene_config, load_scene_list
+
+    config_name, step_num = HABITAT_SCENE_SETS[set_name]
+    cfg = load_scene_config(config_name)
+    return [
+        {
+            "scene_id": scene,
+            "seed": 0,
+            "step_num": step_num,
+            "scene_config": cfg,
+        }
+        for scene in load_scene_list(set_name)
+    ]
+
 
 def run_batch(
     scene_set: str,
@@ -33,34 +60,52 @@ def run_batch(
     width: int = 128,
     height: int = 128,
     pixel_max: int = 180,
+    dataset_factory=None,
 ) -> List[Dict]:
     """Run episodes + coverage judge over a scene set; writes
     actions_error.txt per run and a summary.json (eval_results_actions.py
-    output shape)."""
+    output shape). scene_set may be a synthetic set or one of the reference
+    habitat lists (HABITAT_SCENE_SETS — pass a dataset_factory(spec,
+    results_dir) building HabitatDataset when the wheels exist)."""
+    if scene_set in HABITAT_SCENE_SETS:
+        specs = habitat_scene_specs(scene_set)
+        if dataset_factory is None:
+            raise RuntimeError(
+                f"scene set {scene_set!r} needs a habitat dataset_factory "
+                "(the wheels are not bundled); see runtime/habitat_backend.py"
+            )
+    else:
+        specs = SCENE_SETS[scene_set]
     results = []
-    for spec in SCENE_SETS[scene_set]:
+    for spec in specs:
         for rep in range(repetitions):
             run_name = f"{spec['scene_id']}-{spec['seed']}-rep{rep}"
             results_dir = os.path.join(output_dir, run_name)
-            dataset = make_synthetic_dataset(
-                scene_id=spec["scene_id"],
-                seed=spec["seed"],
-                step_num=spec["step_num"],
-                width=width,
-                height=height,
-                results_dir=results_dir,
-            )
+            if dataset_factory is not None:
+                dataset = dataset_factory(spec, results_dir)
+            else:
+                dataset = make_synthetic_dataset(
+                    scene_id=spec["scene_id"],
+                    seed=spec["seed"],
+                    step_num=spec["step_num"],
+                    width=width,
+                    height=height,
+                    results_dir=results_dir,
+                )
             run_episode(
                 dataset, results_dir, mapper_cfg=mapper_cfg, pixel_max=pixel_max
             )
-            replay_dataset = make_synthetic_dataset(
-                scene_id=spec["scene_id"],
-                seed=spec["seed"],
-                step_num=spec["step_num"],
-                width=width,
-                height=height,
-                results_dir=None,
-            )
+            if dataset_factory is not None:
+                replay_dataset = dataset_factory(spec, None)
+            else:
+                replay_dataset = make_synthetic_dataset(
+                    scene_id=spec["scene_id"],
+                    seed=spec["seed"],
+                    step_num=spec["step_num"],
+                    width=width,
+                    height=height,
+                    results_dir=None,
+                )
             report = eval_actions(
                 replay_dataset, os.path.join(results_dir, "actions.txt")
             )

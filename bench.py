@@ -71,12 +71,103 @@ def build_map(n_gaussians: int, width: int, height: int, seed: int = 0):
     return buf, cam, jnp.asarray(rgb), jnp.asarray(depth), cfg
 
 
+def _emit(metric, value, unit, baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+def bench_render_fps(n_gaussians: int, width: int, height: int, reps: int = 30):
+    """Forward render FPS (the BASELINE.json render-FPS@1M headline): reps
+    renders chained in ONE device program (the axon relay adds ~2.3 ms per
+    dispatch, which would swamp per-frame timings otherwise)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from activesplat_tpu.ops.render import forward_backend, render
+
+    buf, cam, _, _, cfg = build_map(n_gaussians, width, height)
+    backend = forward_backend()
+
+    @jax.jit
+    def run(buf, cam):
+        def body(i, acc):
+            c = dc.replace(
+                cam, w2c=cam.w2c.at[0, 3].add(1e-6 * acc)
+            )  # serialize iterations
+            out = render(
+                buf, c, chunk=cfg.chunk, k_per_tile=cfg.k_per_tile,
+                backend=backend,
+            )
+            return acc + out.rgb[0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(np.asarray(run(buf, cam)))  # compile + warm
+    t0 = time.perf_counter()
+    float(np.asarray(run(buf, cam)))
+    dt = time.perf_counter() - t0
+    # RTX-3090-class CUDA 3DGS renderers reach ~100 FPS at 1M/256px
+    _emit(
+        f"render_fps@{n_gaussians}g_{width}px", reps / dt, "fps", 100.0
+    )
+
+
+def bench_queries(n_gaussians: int, reps: int = 5):
+    """Planner-facing map-query latency at scale: topdown occupancy render +
+     3-view panorama invisibility, measured host-to-host (the latency the
+    planner FSM actually waits on)."""
+    import jax.numpy as jnp
+
+    from activesplat_tpu.queries.panorama import global_invisibility
+    from activesplat_tpu.queries.topdown import (
+        render_topdown,
+        topdown_config_from_bbox,
+    )
+
+    buf, cam, _, _, cfg = build_map(n_gaussians, 256, 256)
+    bbox = np.array([[0.0, 10.0], [0.0, 3.0], [0.0, 6.0]])
+    td_cfg = topdown_config_from_bbox(bbox, agent_foot=0.0, agent_head=1.5,
+                                      pixel_max=360)
+    render_topdown(buf, td_cfg)  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        free, unobs, _ = render_topdown(buf, td_cfg)
+    dt = (time.perf_counter() - t0) / reps * 1000
+    _emit(f"topdown_query_ms@{n_gaussians}g", dt, "ms", 1.0)
+
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [5.0, 1.25, 1.5]
+    nodes = np.array([[4.0, 1.25, 2.0], [6.0, 1.25, 3.0]])
+    global_invisibility(buf, c2w, nodes, chunk=cfg.chunk, scale=0.5)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores = global_invisibility(buf, c2w, nodes, chunk=cfg.chunk, scale=0.5)
+    dt = (time.perf_counter() - t0) / reps * 1000
+    _emit(f"panorama_query_ms@{n_gaussians}g_2nodes", dt, "ms", 1.0)
+
+
 def main():
     import jax
 
     n_gaussians = int(os.environ.get("BENCH_GAUSSIANS", 200_000))
     width = height = int(os.environ.get("BENCH_RES", 256))
     iters_timed = int(os.environ.get("BENCH_ITERS", 30))
+
+    if os.environ.get("BENCH_ALL"):
+        # extended suite: render FPS @1M (BASELINE headline) + query latency
+        bench_render_fps(int(os.environ.get("BENCH_FPS_GAUSSIANS", 1_000_000)),
+                         width, height)
+        bench_queries(int(os.environ.get("BENCH_FPS_GAUSSIANS", 1_000_000)))
 
     from activesplat_tpu.mapper.adam import AdamState
     from activesplat_tpu.mapper.step import mapping_iteration

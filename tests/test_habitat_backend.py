@@ -236,3 +236,17 @@ def test_benchmark_config_surface():
          ("gibson_small", "gibson_big", "mp3d_small", "mp3d_big")), []
     )
     assert len(scenes) == 13 and "Denmark" in scenes and "GdvgFV5R1Z5" in scenes
+
+
+def test_habitat_batch_specs():
+    from activesplat_tpu.eval.batch import HABITAT_SCENE_SETS, habitat_scene_specs
+
+    specs = habitat_scene_specs("gibson_big")
+    assert [s["scene_id"] for s in specs] == ["Cantwell", "Eastville", "Swormville"]
+    assert all(s["step_num"] == 2000 for s in specs)
+    import pytest
+
+    from activesplat_tpu.eval.batch import run_batch
+
+    with pytest.raises(RuntimeError, match="dataset_factory"):
+        run_batch("mp3d_small", "/tmp/nowhere")
