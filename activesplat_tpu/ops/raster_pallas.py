@@ -49,9 +49,13 @@ def _prefix_scan_inclusive(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _blend_kernel(data_ref, u0_ref, v0_ref, accum_ref, logt_ref, n_channels: int):
+def _blend_kernel(
+    data_ref, u0_ref, v0_ref, accum_ref, logt_ref, entry_ref, n_channels: int
+):
     """One tile: data_ref (1, K, N_ATTR); outputs accum (1, PX, 8),
-    logt (1, 1, PX)."""
+    logt (1, 1, PX), entry (1, n_seg, PX) — each segment's entry
+    log-transmittance, stashed so the backward kernel can skip its
+    forward-re-walk pass."""
     k = data_ref.shape[1]
     n_seg = k // SEG
 
@@ -64,6 +68,7 @@ def _blend_kernel(data_ref, u0_ref, v0_ref, accum_ref, logt_ref, n_channels: int
 
     def seg_body(s, carry):
         accum, logt = carry  # (PX, 8), (1, PX)
+        entry_ref[0, pl.ds(s, 1), :] = logt
 
         def compute(_):
             block = data_ref[0, pl.ds(s * SEG, SEG), :]  # (SEG, N_ATTR)
@@ -118,16 +123,16 @@ def _blend_bwd_kernel(
     v0_ref,
     g_accum_ref,  # (1, PX, 8)
     g_logt_ref,  # (1, 1, PX)
+    entry_ref,  # (1, n_seg, PX) — entry log-transmittances stashed by the fwd
     d_data_ref,  # (1, K, N_ATTR) output
-    entry_ref,  # (n_seg, PX) VMEM scratch: per-segment entry log-transmittance
     *,
     n_channels: int,
 ):
     """Analytic backward of the tile blend.
 
-    Pass 1 re-walks the forward segments (same early-termination schedule)
-    stashing each segment's entry log-transmittance; pass 2 walks segments
-    back-to-front carrying the suffix colour-dot accumulation
+    The forward kernel stashed each segment's entry log-transmittance
+    (entry_ref), so this walks segments back-to-front in a single pass,
+    carrying the suffix colour-dot accumulation
 
         B_k(p) = sum_{j>k} w_j(p) * (col_j . g_accum_p),
 
@@ -166,23 +171,10 @@ def _blend_bwd_kernel(
         unclipped = live & (raw < ALPHA_MAX)
         return block, alpha, unclipped, power, dx, dy, ca, cb, cc, op
 
-    # ---- pass 1: entry log-transmittance per segment (fwd schedule) ----
-    def p1_body(s, logt):
-        entry_ref[pl.ds(s, 1), :] = logt
-
-        def compute(_):
-            _, alpha, _, _, _, _, _, _, _, _ = seg_alpha(s)
-            return logt + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
-
-        saturated = jnp.max(logt) < LOG_EPS
-        return jax.lax.cond(saturated, lambda _: logt, compute, None)
-
-    jax.lax.fori_loop(0, n_seg, p1_body, jnp.zeros((1, PX), jnp.float32))
-
-    # ---- pass 2: reverse walk with suffix accumulation ----
+    # reverse walk with suffix accumulation (entry logts come from the fwd)
     def p2_body(i, b_carry):
         s = n_seg - 1 - i
-        logt_in = entry_ref[pl.ds(s, 1), :]
+        logt_in = entry_ref[0, pl.ds(s, 1), :]
 
         def compute(b):
             block, alpha, unclipped, power, dx, dy, ca, cb, cc, op = seg_alpha(s)
@@ -241,8 +233,11 @@ def _blend_bwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("n_channels", "interpret"))
-def _blend_bwd_pallas(tile_data, tile_u0, tile_v0, g_accum, g_logt, n_channels, interpret):
+def _blend_bwd_pallas(
+    tile_data, tile_u0, tile_v0, entry, g_accum, g_logt, n_channels, interpret
+):
     t, k, _ = tile_data.shape
+    n_seg = k // SEG
     g_accum_pad = jnp.pad(g_accum, ((0, 0), (0, 0), (0, 8 - n_channels)))
     kernel = functools.partial(_blend_bwd_kernel, n_channels=n_channels)
     d_data = pl.pallas_call(
@@ -254,31 +249,37 @@ def _blend_bwd_pallas(tile_data, tile_u0, tile_v0, g_accum, g_logt, n_channels, 
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, PX, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, PX), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_seg, PX), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, k, N_ATTR), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t, k, N_ATTR), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k // SEG, PX), jnp.float32)],
         interpret=interpret,
-    )(tile_data, tile_u0, tile_v0, g_accum_pad, g_logt[:, None, :])
+    )(tile_data, tile_u0, tile_v0, g_accum_pad, g_logt[:, None, :], entry)
     return d_data
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def blend_tiles(tile_data, tile_u0, tile_v0, n_channels=5, interpret=False):
     """Differentiable fused tile blend (Pallas fwd + analytic Pallas bwd)."""
-    return blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels, interpret)
+    accum, logt, _ = _blend_fwd_pallas(
+        tile_data, tile_u0, tile_v0, n_channels, interpret
+    )
+    return accum, logt
 
 
 def _blend_tiles_fwd(tile_data, tile_u0, tile_v0, n_channels, interpret):
-    out = blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels, interpret)
-    return out, (tile_data, tile_u0, tile_v0)
+    accum, logt, entry = _blend_fwd_pallas(
+        tile_data, tile_u0, tile_v0, n_channels, interpret
+    )
+    return (accum, logt), (tile_data, tile_u0, tile_v0, entry)
 
 
 def _blend_tiles_bwd(n_channels, interpret, residuals, cotangents):
-    tile_data, tile_u0, tile_v0 = residuals
+    tile_data, tile_u0, tile_v0, entry = residuals
     g_accum, g_logt = cotangents
     d_data = _blend_bwd_pallas(
-        tile_data, tile_u0, tile_v0, g_accum, g_logt, n_channels, interpret
+        tile_data, tile_u0, tile_v0, entry, g_accum, g_logt, n_channels,
+        interpret,
     )
     return d_data, None, None
 
@@ -287,19 +288,22 @@ blend_tiles.defvjp(_blend_tiles_fwd, _blend_tiles_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("n_channels", "interpret"))
-def blend_tiles_pallas(
+def _blend_fwd_pallas(
     tile_data: jnp.ndarray,  # (T, K, N_ATTR) f32 gathered per-tile attributes
     tile_u0: jnp.ndarray,  # (T,) int32 tile origin x
     tile_v0: jnp.ndarray,  # (T,) int32
     n_channels: int = 5,
     interpret: bool = False,
 ):
-    """Returns (accum (T, PX, n_channels), log_transmittance (T, PX))."""
+    """Returns (accum (T, PX, n_channels), log_transmittance (T, PX),
+    entry (T, n_seg, PX) per-segment entry log-transmittances — the
+    backward's residual)."""
     t, k, n_attr = tile_data.shape
     assert n_attr == N_ATTR and k % SEG == 0, (k, n_attr)
+    n_seg = k // SEG
 
     kernel = functools.partial(_blend_kernel, n_channels=n_channels)
-    accum, logt = pl.pallas_call(
+    accum, logt, entry = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=[
@@ -310,11 +314,21 @@ def blend_tiles_pallas(
         out_specs=[
             pl.BlockSpec((1, PX, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, PX), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_seg, PX), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, PX, 8), jnp.float32),
             jax.ShapeDtypeStruct((t, 1, PX), jnp.float32),
+            jax.ShapeDtypeStruct((t, n_seg, PX), jnp.float32),
         ],
         interpret=interpret,
     )(tile_data, tile_u0, tile_v0)
-    return accum[:, :, :n_channels], logt[:, 0, :]
+    return accum[:, :, :n_channels], logt[:, 0, :], entry
+
+
+def blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels=5, interpret=False):
+    """Forward-only fused tile blend: (accum, log_transmittance)."""
+    accum, logt, _ = _blend_fwd_pallas(
+        tile_data, tile_u0, tile_v0, n_channels, interpret
+    )
+    return accum, logt

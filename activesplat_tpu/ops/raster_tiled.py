@@ -301,16 +301,12 @@ def _rasterize_tiled_prefix(
                 f"colour block), got {c_dim_in}; use backend='xla'"
             )
         data = jnp.concatenate(
-            [
-                pad_mean,
-                pad_conic,
-                pad_op[:, None],
-                pad_col,
-                jnp.zeros((n + 1, 16 - 6 - c_dim_in), mean2d.dtype),
-            ],
-            -1,
-        )  # (N+1, 16)
-        tile_data = data[global_ids]  # (T, K, 16) — one gather
+            [pad_mean, pad_conic, pad_op[:, None], pad_col], -1
+        )  # (N+1, 6 + C) — no padding columns: the gather (and its transpose
+        # scatter-add in the backward) moves only live attributes
+        tile_data = jnp.pad(
+            data[global_ids], ((0, 0), (0, 0), (0, 16 - 6 - c_dim_in))
+        )  # (T, K, 16)
         accum_t, logt_t = blend_tiles(
             tile_data,
             tile_u0.astype(jnp.int32),
