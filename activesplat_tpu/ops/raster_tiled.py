@@ -196,6 +196,33 @@ def rasterize_tiled(
     """
     n = mean2d.shape[0]
     key = jnp.where(valid, depth, jnp.inf)
+    data = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], colors], -1
+    )  # (N, 6 + C)
+    return _rasterize_tiled_data(
+        data,
+        key,
+        radius,
+        valid,
+        width=width,
+        height=height,
+        k_per_tile=k_per_tile,
+        backend=backend,
+    )
+
+
+def _rasterize_tiled_data(
+    data: jnp.ndarray,  # (N, 6 + C): [mean2d, conic, opacity, channels]
+    key: jnp.ndarray,  # (N,) depth sort key, +inf where invalid
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    k_per_tile: int,
+    backend: str,
+):
+    n = data.shape[0]
     # one multi-operand sort carries the binning attributes with the keys —
     # ~3x cheaper than argsort + a row gather (random-access row gathers are
     # slow on TPU)
@@ -203,10 +230,10 @@ def rasterize_tiled(
     _, s_mx, s_my, s_rad, s_val, order = jax.lax.sort(
         (
             sg(key),
-            sg(mean2d[:, 0]),
-            sg(mean2d[:, 1]),
+            sg(data[:, 0]),
+            sg(data[:, 1]),
             sg(radius),
-            valid.astype(mean2d.dtype),
+            valid.astype(data.dtype),
             jnp.arange(n, dtype=jnp.int32),
         ),
         dimension=0,
@@ -222,10 +249,7 @@ def rasterize_tiled(
             return _rasterize_tiled_prefix(
                 packed[:b],
                 order,
-                mean2d,
-                conic,
-                opacity,
-                colors,
+                data,
                 width=width,
                 height=height,
                 k_per_tile=min(k_per_tile, b),
@@ -241,17 +265,15 @@ def rasterize_tiled(
 def _rasterize_tiled_prefix(
     packed,  # (B, 4) sorted [mx, my, radius, valid]
     order,  # (N,) sorted -> original index map
-    mean2d,
-    conic,
-    opacity,
-    colors,
+    data,  # (N, 6 + C) [mean2d, conic, opacity, channels] — differentiable
     *,
     width: int,
     height: int,
     k_per_tile: int,
     backend: str = "xla",
 ):
-    n = mean2d.shape[0]
+    n = data.shape[0]
+    c_dim = data.shape[1] - 6
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
 
@@ -265,18 +287,21 @@ def _rasterize_tiled_prefix(
         lists.indices >= b, n, order[jnp.minimum(lists.indices, n - 1)]
     )
 
-    # padding row: index n reads zeros / harmless values
-    pad_mean = jnp.concatenate([mean2d, jnp.full((1, 2), -1e9, mean2d.dtype)], 0)
-    pad_conic = jnp.concatenate([conic, jnp.ones((1, 3), conic.dtype)], 0)
-    pad_op = jnp.concatenate([opacity, jnp.zeros((1,), opacity.dtype)], 0)
-    pad_col = jnp.concatenate(
-        [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], 0
+    # padding row (index n): off-screen mean, unit conic, zero opacity/colors
+    pad_row = jnp.concatenate(
+        [
+            jnp.full((1, 2), -1e9, data.dtype),
+            jnp.ones((1, 3), data.dtype),
+            jnp.zeros((1, 1 + c_dim), data.dtype),
+        ],
+        -1,
     )
+    pad_data = jnp.concatenate([data, pad_row], 0)  # (N+1, 6+C)
 
     tile_ids = jnp.arange(tiles_x * tiles_y)
     tile_u0 = (tile_ids % tiles_x) * TILE
     tile_v0 = (tile_ids // tiles_x) * TILE
-    local = jnp.arange(TILE * TILE, dtype=mean2d.dtype)
+    local = jnp.arange(TILE * TILE, dtype=data.dtype)
     lx = local % TILE
     ly = local // TILE
 
@@ -294,36 +319,40 @@ def _rasterize_tiled_prefix(
                 [global_ids, jnp.full((global_ids.shape[0], pad_k), n, jnp.int32)],
                 axis=1,
             )
-        c_dim_in = colors.shape[1]
-        if c_dim_in > 8:
+        if c_dim > 8:
             raise ValueError(
                 f"pallas blend supports at most 8 channels (MXU lane-packed "
-                f"colour block), got {c_dim_in}; use backend='xla'"
+                f"colour block), got {c_dim}; use backend='xla'"
             )
-        data = jnp.concatenate(
-            [pad_mean, pad_conic, pad_op[:, None], pad_col], -1
-        )  # (N+1, 6 + C) — no padding columns: the gather (and its transpose
-        # scatter-add in the backward) moves only live attributes
+        # no padding columns in the gather: its transpose scatter-add in the
+        # backward then moves only live attributes
         tile_data = jnp.pad(
-            data[global_ids], ((0, 0), (0, 0), (0, 16 - 6 - c_dim_in))
+            pad_data[global_ids], ((0, 0), (0, 0), (0, 16 - 6 - c_dim))
         )  # (T, K, 16)
         accum_t, logt_t = blend_tiles(
             tile_data,
             tile_u0.astype(jnp.int32),
             tile_v0.astype(jnp.int32),
-            c_dim_in,
+            c_dim,
             _jax.default_backend() != "tpu",
         )
     else:
 
         def tile_fn(ids, u0, v0):
-            px = u0.astype(mean2d.dtype) + lx
-            py = v0.astype(mean2d.dtype) + ly
-            return _blend_tile(ids, pad_mean, pad_conic, pad_op, pad_col, px, py)
+            px = u0.astype(data.dtype) + lx
+            py = v0.astype(data.dtype) + ly
+            return _blend_tile(
+                ids,
+                pad_data[:, 0:2],
+                pad_data[:, 2:5],
+                pad_data[:, 5],
+                pad_data[:, 6:],
+                px,
+                py,
+            )
 
         accum_t, logt_t = jax.vmap(tile_fn)(global_ids, tile_u0, tile_v0)
     # (T, TILE*TILE, C) -> (H_pad, W_pad, C) -> crop -> (H*W, C)
-    c_dim = colors.shape[1]
     accum_img = (
         accum_t.reshape(tiles_y, tiles_x, TILE, TILE, c_dim)
         .transpose(0, 2, 1, 3, 4)
