@@ -169,22 +169,37 @@ def main():
                          width, height)
         bench_queries(int(os.environ.get("BENCH_FPS_GAUSSIANS", 1_000_000)))
 
+    import jax
+    import jax.numpy as jnp
+
     from activesplat_tpu.mapper.adam import AdamState
     from activesplat_tpu.mapper.step import mapping_iteration
 
     buf, cam, rgb, depth, cfg = build_map(n_gaussians, width, height)
     opt = AdamState.init(buf.params)
 
+    # Iterations are chained inside ONE device program, exactly like the
+    # production mapper (mapping_phase runs the whole per-frame optimization
+    # as a single lax.scan, mapper/step.py) — a host-side python loop would
+    # additionally measure the axon relay's ~1 ms/call dispatch, which the
+    # real system never pays per iteration.
+    @jax.jit
+    def run_iters(buf, opt):
+        def body(i, carry):
+            b, o = carry
+            b, o, m = mapping_iteration(b, o, cam, rgb, depth, cfg)
+            return (b, o)
+
+        return jax.lax.fori_loop(0, iters_timed, body, (buf, opt))
+
     # warmup / compile (sync via a value fetch: block_until_ready does not
     # reliably synchronize through the tunneled-TPU relay)
-    buf_w, opt_w, metrics = mapping_iteration(buf, opt, cam, rgb, depth, cfg)
-    float(np.asarray(metrics["loss"]))
+    out = run_iters(buf, opt)
+    float(np.asarray(out[0].params.means3d[0, 0]))
 
     t0 = time.perf_counter()
-    b, o = buf, opt
-    for _ in range(iters_timed):
-        b, o, metrics = mapping_iteration(b, o, cam, rgb, depth, cfg)
-    float(np.asarray(metrics["loss"]))  # forces the full dependency chain
+    out = run_iters(buf, opt)
+    float(np.asarray(out[0].params.means3d[0, 0]))  # forces the full chain
     dt = time.perf_counter() - t0
     iters_per_sec = iters_timed / dt
 
