@@ -35,6 +35,7 @@ from activesplat_tpu.mapper.step import (
 from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, make_camera
 from activesplat_tpu.ops.render import render_jit
 from activesplat_tpu.utils import OPENCV_TO_OPENGL
+from activesplat_tpu.utils.tracing import format_stage_report, stage
 from activesplat_tpu.utils.transforms import mat_to_q_pos
 
 
@@ -187,13 +188,14 @@ class SplaTAMMapper:
         depth_j = jnp.asarray(depth)
 
         if frame_id == 0:
-            self.buf, dropped, scene_radius = first_frame_phase(
-                self.buf, cam, rgb_j, depth_j, self.cfg
-            )
-            if self._grow_if_needed(int(dropped), self.width * self.height):
+            with stage("mapper/first_frame"):
                 self.buf, dropped, scene_radius = first_frame_phase(
                     self.buf, cam, rgb_j, depth_j, self.cfg
                 )
+                if self._grow_if_needed(int(dropped), self.width * self.height):
+                    self.buf, dropped, scene_radius = first_frame_phase(
+                        self.buf, cam, rgb_j, depth_j, self.cfg
+                    )
             self.scene_radius = float(scene_radius)
 
         # Scheduling (splatam/__init__.py:395-397): iters run every frame if
@@ -206,13 +208,15 @@ class SplaTAMMapper:
 
         # Densification on map frames (splatam/__init__.py:408-417).
         if is_map_frame and self.cfg.add_new_gaussians and frame_id > 0:
-            self.buf, dropped, n_new = densify_phase(
-                self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id), self.cfg
-            )
-            if self._grow_if_needed(int(dropped), 4096):
+            with stage("mapper/densify"):
                 self.buf, dropped, n_new = densify_phase(
                     self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id), self.cfg
                 )
+                if self._grow_if_needed(int(dropped), 4096):
+                    self.buf, dropped, n_new = densify_phase(
+                        self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
+                        self.cfg,
+                    )
 
         # Optimization phase: selection + iterations, one device program
         # (split into segments at prune-schedule fire points when pruning is
@@ -220,36 +224,37 @@ class SplaTAMMapper:
         # stays a single program).
         if iter_per_frame > 0:
             t_iter = time.time()
-            pd = self.cfg.prune
-            fires = lambda i: self.cfg.prune_gaussians and (
-                pd.removal_fires(i) or pd.reset_fires(i)
-            )
-            i = 0
-            while i < iter_per_frame:
-                if fires(i):
-                    from activesplat_tpu.mapper.step import prune_phase
+            with stage("mapper/mapping_iters"):
+                pd = self.cfg.prune
+                fires = lambda i: self.cfg.prune_gaussians and (
+                    pd.removal_fires(i) or pd.reset_fires(i)
+                )
+                i = 0
+                while i < iter_per_frame:
+                    if fires(i):
+                        from activesplat_tpu.mapper.step import prune_phase
 
-                    self.buf, _ = prune_phase(
-                        self.buf, self.cfg, i, self.scene_radius
+                        self.buf, _ = prune_phase(
+                            self.buf, self.cfg, i, self.scene_radius
+                        )
+                    nxt = next(
+                        (j for j in range(i + 1, iter_per_frame) if fires(j)),
+                        iter_per_frame,
                     )
-                nxt = next(
-                    (j for j in range(i + 1, iter_per_frame) if fires(j)),
-                    iter_per_frame,
-                )
-                self.buf, self.store, metrics = mapping_phase(
-                    self.buf,
-                    self.store,
-                    rgb_j,
-                    depth_j,
-                    jnp.asarray(w2c, jnp.float32),
-                    jnp.int32(frame_id),
-                    cam,
-                    self._next_key(),
-                    self.cfg,
-                    nxt - i,
-                )
-                i = nxt
-            jax.block_until_ready(self.buf.params.means3d)
+                    self.buf, self.store, metrics = mapping_phase(
+                        self.buf,
+                        self.store,
+                        rgb_j,
+                        depth_j,
+                        jnp.asarray(w2c, jnp.float32),
+                        jnp.int32(frame_id),
+                        cam,
+                        self._next_key(),
+                        self.cfg,
+                        nxt - i,
+                    )
+                    i = nxt
+                jax.block_until_ready(self.buf.params.means3d)
             dt = time.time() - t_iter
             self.mapping_iter_time_sum += dt
             self.mapping_iter_time_count += iter_per_frame
@@ -316,6 +321,9 @@ class SplaTAMMapper:
             f"Average Mapping/Iteration Time: {self.mapping_iter_time_sum / iters * 1000:.2f} ms"
         )
         print(f"Average Mapping/Frame Time: {self.mapping_frame_time_sum / frames:.4f} s")
+        print("Stage timing (host wall-clock; device-accurate numbers come "
+              "from ACTIVESPLAT_TRACE_DIR profiles):")
+        print(format_stage_report())
         if self.results_dir is None:
             return None
         t = len(self.cam_quats)

@@ -75,6 +75,8 @@ def run_episode(
 ):
     """Run one exploration episode to budget exhaustion. Returns
     (mapper_node, planner)."""
+    from activesplat_tpu.utils.tracing import trace_capture
+
     mapper_cfg = mapper_cfg or MapperConfig()
     bus = Bus()
     mapper_node = MapperNode(
@@ -88,7 +90,9 @@ def run_episode(
         pano_scale=pano_scale,
     )
     planner = PlannerFSM(bus, save_runtime_data=save_runtime_data)
-    planner.run(max_ticks=max_ticks)
+    # set ACTIVESPLAT_TRACE_DIR to capture a device profile of the episode
+    with trace_capture():
+        planner.run(max_ticks=max_ticks)
     mapper_node.finish()
     dataset.close()
     return mapper_node, planner
@@ -132,6 +136,63 @@ def run_replay(
     return mapper_node
 
 
+def run_manual(
+    dataset: SyntheticDataset,
+    results_dir: str,
+    mapper_cfg: Optional[MapperConfig] = None,
+    pixel_max: int = 360,
+    save_dataset: bool = True,
+    action_source=None,
+    pano_scale: float = 1.0,
+):
+    """MANUAL_CONTROL mode: teleoperation drives cmd_vel while the mapper
+    maps every frame — the headless equivalent of the reference's arrow-key
+    teleop (visualizer.py:1934-1965; same key->twist table). `action_source`
+    yields single-character commands; None reads them interactively from
+    stdin (w=forward a=left d=right r=look-up f=look-down q=quit). Returns
+    the mapper node."""
+    from activesplat_tpu.utils import GlobalState
+
+    mapper_cfg = mapper_cfg or MapperConfig()
+    bus = Bus()
+    mapper_node = MapperNode(
+        bus,
+        dataset,
+        mapper_cfg,
+        results_dir,
+        pixel_max=pixel_max,
+        save_dataset=save_dataset,
+        pano_scale=pano_scale,
+    )
+    mapper_node.global_state = GlobalState.MANUAL_CONTROL
+
+    def stdin_keys():
+        import sys
+
+        print("manual control: w=forward a=left d=right r=up f=down q=quit")
+        for line in sys.stdin:
+            for ch in line.strip():
+                yield ch
+
+    speed, turn = 0.2, 0.2  # reference SPEED/TURN (scripts/nodes/__init__.py)
+    key_to_twist = {
+        "w": {"linear": np.array([speed, 0.0, 0.0]), "angular": np.zeros(3)},
+        "a": {"linear": np.zeros(3), "angular": np.array([0.0, 0.0, turn])},
+        "d": {"linear": np.zeros(3), "angular": np.array([0.0, 0.0, -turn])},
+        "r": {"linear": np.zeros(3), "angular": np.array([0.0, -turn, 0.0])},
+        "f": {"linear": np.zeros(3), "angular": np.array([0.0, turn, 0.0])},
+    }
+    for key in action_source if action_source is not None else stdin_keys():
+        if mapper_node.global_state == GlobalState.QUIT or key == "q":
+            break
+        twist = key_to_twist.get(key)
+        if twist is not None:
+            bus.publish("cmd_vel", twist)
+    mapper_node.finish()
+    dataset.close()
+    return mapper_node
+
+
 def main():
     parser = argparse.ArgumentParser(description="ActiveSplat-TPU episode launcher")
     parser.add_argument("--scene_id", default="two_room")
@@ -146,9 +207,10 @@ def main():
     parser.add_argument(
         "--mode",
         default="auto",
-        choices=["auto", "replay"],
+        choices=["auto", "replay", "manual"],
         help="auto: planner-driven exploration; replay: re-run --actions "
-        "through the mapper (reference habitat.launch mode arg)",
+        "through the mapper; manual: stdin keyboard teleop "
+        "(reference habitat.launch mode arg + MANUAL_CONTROL)",
     )
     parser.add_argument("--actions", type=str, default=None, help="actions.txt for replay mode")
     args = parser.parse_args()
@@ -166,13 +228,17 @@ def main():
         step_num=kw.get("step_num", args.step_num),
         width=args.width,
         height=args.height,
-        results_dir=args.results_dir if args.mode == "auto" else None,
+        results_dir=args.results_dir if args.mode in ("auto", "manual") else None,
     )
     if args.mode == "replay":
         if not args.actions:
             parser.error("--mode replay requires --actions")
         mapper_node = run_replay(
             dataset, args.actions, args.results_dir, pixel_max=args.pixel_max
+        )
+    elif args.mode == "manual":
+        mapper_node = run_manual(
+            dataset, args.results_dir, pixel_max=args.pixel_max
         )
     else:
         mapper_node, planner = run_episode(

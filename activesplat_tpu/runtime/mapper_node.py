@@ -25,6 +25,7 @@ from activesplat_tpu.queries.topdown import (
 from activesplat_tpu.runtime.bus import Bus
 from activesplat_tpu.runtime.dataloader import SyntheticDataset
 from activesplat_tpu.utils import GlobalState
+from activesplat_tpu.utils.tracing import stage
 
 
 class MapperNode:
@@ -189,9 +190,10 @@ class MapperNode:
     def _get_topdown(self, arrived_flag: bool) -> Optional[Dict]:
         if self.global_state == GlobalState.QUIT:
             return None
-        free_binary, unobserved_binary, _ = render_topdown(
-            self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
-        )
+        with stage("queries/topdown"):
+            free_binary, unobserved_binary, _ = render_topdown(
+                self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
+            )
         if self.recorder is not None:
             self.recorder.save_topdown(free_binary, unobserved_binary)
         response = {
@@ -229,13 +231,15 @@ class MapperNode:
         view_c2w = np.asarray(self.last_frame["c2w"], np.float64)
         if arrived_flag:
             positions = np.asarray(nodes, np.float64).reshape(-1, 3)
-            scores = self.mapper.get_global_invisibility(view_c2w, positions)
+            with stage("queries/panorama_global"):
+                scores = self.mapper.get_global_invisibility(view_c2w, positions)
             return {
                 "targets_frustums_invisibility": [s[0] for s in scores],
                 "targets_frustums_volume": [s[1] for s in scores],
                 "nodes_id": list(nodes_id) if nodes_id is not None else [],
             }
-        total, best_pose, invis = self.mapper.get_local_invisibility(view_c2w)
+        with stage("queries/panorama_local"):
+            total, best_pose, invis = self.mapper.get_local_invisibility(view_c2w)
         if self.recorder is not None:
             step, _ = self.dataset.get_step_info()
             self.recorder.save_panorama(step, "local", invis)

@@ -45,6 +45,7 @@ from activesplat_tpu.queries.topdown import (
 )
 from activesplat_tpu.runtime.bus import Bus
 from activesplat_tpu.utils import GlobalState
+from activesplat_tpu.utils.tracing import stage
 
 # constants-as-flags (reference: scripts/nodes/__init__.py:13-18)
 USE_RANDOM_SELECTION = False
@@ -97,6 +98,7 @@ class PlannerFSM:
         max_pitch_angle: float = 45.0,
         seed: int = 1,
         save_runtime_data: bool = False,
+        manual_target_provider=None,
     ) -> None:
         self.bus = bus
         self.rng = np.random.default_rng(seed)
@@ -138,6 +140,11 @@ class PlannerFSM:
         self.high_loss_pose_c2w: Optional[np.ndarray] = None
         self.state = PlannerState.BOOTSTRAP
         self.global_state = GlobalState.AUTO_PLANNING
+        # MANUAL_PLANNING: targets come from this callback instead of node
+        # scoring — the headless stand-in for the reference's double-click
+        # handler (planner_node.py:1296-1334). Called with (voronoi_graph,
+        # agent_px); returns a topdown (x, y) click or None to keep waiting.
+        self.manual_target_provider = manual_target_provider
 
         # exploration memory
         self.visited_px = np.zeros((0, 2))
@@ -262,13 +269,16 @@ class PlannerFSM:
         free = response["free_map"].astype(np.uint8) * 255
         unobserved = response["visible_map"].astype(np.uint8) * 255
         kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (4, 4))
-        self.free_map, self._outer_contour, self._child_contours = build_obstacle_map(
-            free,
-            unobserved,
-            self.pose["px"],
-            kernel,
-            self.approx_precision_px,
-        )
+        with stage("planner/obstacle_map"):
+            self.free_map, self._outer_contour, self._child_contours = (
+                build_obstacle_map(
+                    free,
+                    unobserved,
+                    self.pose["px"],
+                    kernel,
+                    self.approx_precision_px,
+                )
+            )
         if arrived and "horizon_bound_min" in response:
             self.horizon_bbox_px = horizon_bbox_topdown(
                 response["horizon_bound_min"],
@@ -282,14 +292,15 @@ class PlannerFSM:
         return True
 
     def _refresh_graph(self, arrived: bool) -> None:
-        self.vg = build_voronoi_graph(
-            self.free_map,
-            self._outer_contour,
-            self._child_contours,
-            edge_sample_num=5,
-            agent_radius_pixel=self.agent_radius_px,
-            inaccessible_points=np.zeros((0, 2)),
-        )
+        with stage("planner/voronoi_graph"):
+            self.vg = build_voronoi_graph(
+                self.free_map,
+                self._outer_contour,
+                self._child_contours,
+                edge_sample_num=5,
+                agent_radius_pixel=self.agent_radius_px,
+                inaccessible_points=np.zeros((0, 2)),
+            )
         if arrived:
             self.subregions = compute_subregions(
                 self.vg.graph,
@@ -458,9 +469,19 @@ class PlannerFSM:
     # ------------------------------------------------------------------ #
     # state handlers
 
+    # states in which the FSM acts; in PAUSE / MANUAL_CONTROL / REPLAY the
+    # planner idles and movement comes from elsewhere (reference
+    # __ENABLE_STATES, planner_node.py:65)
+    ENABLE_STATES = (GlobalState.AUTO_PLANNING, GlobalState.MANUAL_PLANNING)
+
     def tick(self) -> None:
         if self.global_state == GlobalState.QUIT:
             self.state = PlannerState.DONE
+            return
+        if self.global_state not in self.ENABLE_STATES:
+            import time as _time
+
+            _time.sleep(0.02)  # idle; movement comes from elsewhere
             return
         handler = {
             PlannerState.BOOTSTRAP: self._tick_bootstrap,
@@ -537,6 +558,38 @@ class PlannerFSM:
         length = float(np.sum(np.linalg.norm(np.diff(whole, axis=0), axis=1)))
         return path, length
 
+    def _select_manual_target(self, start_vertex: int) -> None:
+        """MANUAL_PLANNING target selection: a user-supplied topdown click
+        replaces node scoring. Click resolution mirrors the reference's
+        mouse_callback (planner_node.py:1296-1334): the nearest Voronoi node
+        within 20 px wins, farther clicks are ignored; unreachable picks are
+        recorded in the fail set exactly like scored targets."""
+        click = (
+            self.manual_target_provider(self.vg, self.pose["px"])
+            if self.manual_target_provider is not None
+            else None
+        )
+        if click is None:
+            return  # keep waiting for a selection; maps stay fresh each tick
+        click = np.asarray(click, np.float64).reshape(2)
+        nodes_px = self.vg.vertices[self.vg.nodes_index]
+        dist = np.linalg.norm(nodes_px - click, axis=1)
+        if len(dist) == 0 or float(dist.min()) > 20.0:
+            return
+        node_index = int(np.asarray(self.vg.nodes_index)[int(np.argmin(dist))])
+        path, _length = self._candidate_path(start_vertex, node_index)
+        if path is None:
+            return
+        self.navigation_path = path
+        self.navigation_target_index = node_index
+        self.whole_navigation_path_3d = np.array(
+            [
+                topdown_to_world(p, self.topdown_cfg, 0.0)
+                for p in np.vstack([self.pose["px"], path])
+            ]
+        )
+        self.state = PlannerState.NAVIGATE
+
     def _tick_select_target(self) -> None:
         if not self._refresh_maps(arrived=True):
             return
@@ -550,6 +603,9 @@ class PlannerFSM:
         start_vertex = closest_reachable_vertex(
             self.vg.vertices, self.free_map, self.pose["px"], self.agent_radius_px
         )
+        if self.global_state == GlobalState.MANUAL_PLANNING:
+            self._select_manual_target(start_vertex)
+            return
         closest = closest_node(self.vg.vertices, self.vg.nodes_index, self.pose["px"])
 
         # hierarchical subregion plan (planner_node.py:267-344)

@@ -218,3 +218,25 @@ def test_eval_nvs_from_dump(recorded):
     if metrics["valid_frame_ratio"] > 0:
         assert metrics["psnr"] > 10
         assert metrics["depth_l1"] < 1.0
+
+
+def test_manual_control_mode(tmp_path):
+    """MANUAL_CONTROL teleop: scripted keys drive cmd_vel while the mapper
+    maps every frame (reference keyboard teleop, visualizer.py:1934-1965)."""
+    from activesplat_tpu.runtime.launch import run_manual
+
+    keys = list("wwaadx")  # x is unknown -> ignored
+    node = run_manual(
+        make_dataset(str(tmp_path), step_num=8),
+        str(tmp_path),
+        mapper_cfg=SMALL_CFG,
+        pixel_max=40,
+        save_dataset=False,
+        action_source=iter(keys),
+    )
+    # 5 valid keys + the initial frame
+    assert node.mapper.mapping_frame_time_count == 6
+    assert node.mapper.num_gaussians() > 100
+    # actions logged like any other mode
+    actions = open(os.path.join(str(tmp_path), "actions.txt")).read().split()
+    assert len(actions) == 5

@@ -186,3 +186,42 @@ def test_all_unarrived_failed_retunes_weights(tmp_path):
     assert len(fsm.fail_vertices) == 0
     # FAIL flag cleared: no node carries the -60 penalty
     assert np.all(fsm.nodes_score > -60)
+
+
+def test_manual_planning_click_targets(tmp_path):
+    """MANUAL_PLANNING: a provider 'click' replaces node scoring
+    (reference mouse_callback, planner_node.py:1296-1334): the nearest
+    Voronoi node within 20 px wins; farther clicks and no-click ticks wait."""
+    from activesplat_tpu.utils import GlobalState
+
+    clicks = [None, np.array([2.0, 2.0]), np.array([52.0, 48.0])]
+    bus, world, fsm = make_fsm(
+        tmp_path, manual_target_provider=lambda vg, px: clicks.pop(0)
+    )
+    fsm.global_state = GlobalState.MANUAL_PLANNING
+    fsm.state = PlannerState.SELECT_TARGET
+
+    fsm.tick()  # provider returns None -> keep waiting
+    assert fsm.state == PlannerState.SELECT_TARGET
+    fsm.tick()  # click far from every node -> ignored
+    assert fsm.state == PlannerState.SELECT_TARGET
+    fsm.tick()  # click near the + junction node -> plan and navigate
+    assert fsm.state == PlannerState.NAVIGATE
+    assert fsm.navigation_path is not None
+    target = fsm.vg.vertices[fsm.navigation_target_index]
+    assert np.linalg.norm(target - np.array([52.0, 48.0])) <= 20.0
+
+
+def test_planner_idles_outside_enable_states(tmp_path):
+    """PAUSE / MANUAL_CONTROL: the FSM does not act (reference
+    __ENABLE_STATES, planner_node.py:65)."""
+    from activesplat_tpu.utils import GlobalState
+
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm.state = PlannerState.NAVIGATE
+    fsm.navigation_path = np.array([[80.0, 50.0]])
+    for state in (GlobalState.PAUSE, GlobalState.MANUAL_CONTROL):
+        fsm.global_state = state
+        fsm.tick()
+        assert fsm.state == PlannerState.NAVIGATE  # unchanged, no movement
+        assert world.forward_count == 0
