@@ -44,6 +44,57 @@ class RuntimeRecorder:
         os.makedirs(d, exist_ok=True)
         cv2.imwrite(os.path.join(d, f"{node_id}.png"), _colorize(invisibility))
 
+    def save_rgbd_silhouette(
+        self,
+        step: int,
+        gt_rgb: np.ndarray,  # (H, W, 3) float [0,1] or uint8
+        gt_depth: np.ndarray,  # (H, W) meters
+        rendered_rgb: np.ndarray,
+        rendered_depth: np.ndarray,
+        silhouette: np.ndarray,  # (H, W) alpha [0,1]
+        psnr: float,
+        depth_l1: float,
+    ) -> None:
+        """2x3 diagnostic panel — GT RGB | GT depth | silhouette over
+        rendered RGB (PSNR) | rendered depth (L1) | |depth diff| — the
+        matplotlib-free equivalent of the reference's plot_rgbd_silhouette
+        (eval_helpers.py:110-151; same cell layout, jet depth maps)."""
+
+        def to_bgr8(rgb):
+            if rgb.dtype != np.uint8:
+                rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+            return cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+
+        def depth_jet(d, vmax=6.0):
+            u8 = np.clip(np.asarray(d, np.float64) / vmax * 255, 0, 255)
+            return cv2.applyColorMap(u8.astype(np.uint8), cv2.COLORMAP_JET)
+
+        def label(img, text):
+            img = img.copy()
+            cv2.putText(img, text, (4, 14), cv2.FONT_HERSHEY_SIMPLEX, 0.38,
+                        (255, 255, 255), 1, cv2.LINE_AA)
+            return img
+
+        sil_u8 = (np.clip(silhouette, 0, 1) * 255).astype(np.uint8)
+        diff = np.abs(
+            np.asarray(gt_depth, np.float64) - np.asarray(rendered_depth,
+                                                          np.float64)
+        ) * (np.asarray(gt_depth) > 0)
+        top = np.hstack([
+            label(to_bgr8(gt_rgb), "GT RGB"),
+            label(depth_jet(gt_depth), "GT Depth"),
+            label(cv2.cvtColor(sil_u8, cv2.COLOR_GRAY2BGR), "Silhouette"),
+        ])
+        bottom = np.hstack([
+            label(to_bgr8(rendered_rgb), f"Render PSNR {psnr:.2f}"),
+            label(depth_jet(rendered_depth), f"Render L1 {depth_l1:.2f}"),
+            label(depth_jet(diff), "|Depth diff|"),
+        ])
+        cv2.imwrite(
+            os.path.join(self.view_dir, f"rgbd_sil_{step:05d}.png"),
+            np.vstack([top, bottom]),
+        )
+
     def save_view(self, step: int, rgb: np.ndarray, depth: Optional[np.ndarray]):
         if rgb.dtype != np.uint8:
             rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)

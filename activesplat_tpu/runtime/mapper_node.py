@@ -41,11 +41,13 @@ class MapperNode:
         save_runtime_data: bool = False,
         save_dataset: bool = True,
         pano_scale: float = 1.0,
+        record_view_every: int = 100,
     ) -> None:
         self.bus = bus
         self.dataset = dataset
         self.results_dir = results_dir
         self.save_runtime_data = save_runtime_data
+        self.record_view_every = max(int(record_view_every), 1)
         os.makedirs(results_dir, exist_ok=True)
         self.global_state = GlobalState.AUTO_PLANNING
 
@@ -136,9 +138,24 @@ class MapperNode:
         self.last_frame = frame
         if self.recorder is not None:
             step, _ = self.dataset.get_step_info()
-            if step % 100 == 0:
-                rgb, depth = self.mapper.render_rgbd(frame["c2w"])
-                self.recorder.save_view(step, rgb, depth)
+            if step % self.record_view_every == 0:
+                view = self.mapper.render_view(
+                    self.mapper._camera(np.linalg.inv(frame["c2w"]))
+                )
+                gt_d = np.asarray(frame["depth"], np.float64)
+                mask = gt_d > 0
+                diff = np.abs(gt_d - view["depth"])[mask]
+                depth_l1 = float(diff.mean()) if mask.any() else 0.0
+                err = np.mean(
+                    (np.asarray(frame["rgb"], np.float64) - view["rgb"]) ** 2
+                )
+                psnr = float(-10.0 * np.log10(max(err, 1e-12)))
+                self.recorder.save_rgbd_silhouette(
+                    step, frame["rgb"], gt_d, view["rgb"], view["depth"],
+                    view["opacity"], psnr, depth_l1,
+                )
+                rgb8 = (np.clip(view["rgb"], 0, 1) * 255).astype(np.uint8)
+                self.recorder.save_view(step, rgb8, view["depth"])
         self._publish_pose(frame)
         if self.dataset.is_finished():
             self.finish()

@@ -240,3 +240,28 @@ def test_manual_control_mode(tmp_path):
     # actions logged like any other mode
     actions = open(os.path.join(str(tmp_path), "actions.txt")).read().split()
     assert len(actions) == 5
+
+
+def test_rgbd_silhouette_panel(tmp_path):
+    """save_runtime_data writes the 2x3 rgbd/silhouette diagnostic panel
+    (plot_rgbd_silhouette parity, eval_helpers.py:110-151)."""
+    import glob
+
+    import cv2
+
+    from activesplat_tpu.runtime.bus import Bus
+    from activesplat_tpu.runtime.mapper_node import MapperNode
+    from activesplat_tpu.runtime.dataloader import action_to_twist
+
+    dataset = make_dataset(None, step_num=5)
+    bus = Bus()
+    node = MapperNode(
+        bus, dataset, SMALL_CFG, str(tmp_path), pixel_max=40,
+        save_dataset=False, save_runtime_data=True, record_view_every=1,
+    )
+    bus.publish("cmd_vel", action_to_twist(SimAction.TURN_LEFT))
+    node.finish()
+    panels = sorted(glob.glob(str(tmp_path / "current_vis_data" / "rgbd_sil_*.png")))
+    assert panels
+    img = cv2.imread(panels[0])
+    assert img.shape == (64, 96, 3)  # 2x3 grid of 32x32 cells
