@@ -28,6 +28,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from activesplat_tpu.ops.raster_xla import ALPHA_MAX, ALPHA_MIN
 
@@ -59,47 +60,122 @@ def bin_gaussians(
     ty0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / TILE), 0, tiles_y - 1)
     ty1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / TILE), 0, tiles_y - 1)
 
-    tile_col = jnp.arange(tiles_x, dtype=jnp.float32)
-    tile_row = jnp.arange(tiles_y, dtype=jnp.float32)
-    # (N, tiles_x) / (N, tiles_y) interval membership
-    in_x = (tile_col[None, :] >= tx0[:, None]) & (tile_col[None, :] <= tx1[:, None])
-    in_y = (tile_row[None, :] >= ty0[:, None]) & (tile_row[None, :] <= ty1[:, None])
-    member = (
-        in_y[:, :, None] & in_x[:, None, :] & valid[:, None, None]
-    ).reshape(n, t)  # (N, T), rows in depth order
-
-    member_t = member.T  # (T, N), rows in nondecreasing-depth order
-
-    # Counting-sort by two-level dense compaction. Entry k of tile t is the
-    # index of the (k+1)-th member of row t. Neither scatters (serialized on
-    # TPU) nor searchsorted (lowers to a while loop) — only dense compares,
-    # block cumsums and small contiguous gathers:
-    #   level 1: per-block member counts -> which 128-block holds entry k;
-    #   level 2: cumsum over the gathered 128 bits -> position in the block.
+    # Counting-sort by hierarchical dense compaction, WITHOUT materializing
+    # the (T, N) membership matrix (whose construction dominated whole-map
+    # binning: 322M elements for a 360px topdown at N = 1M). Entry k of tile
+    # t is the index of the (k+1)-th member of row t. Three dense stages, no
+    # scatters (serialized on TPU), no searchsorted (lowers to a while loop):
+    #   counts:  per-(tile, 128-block) member counts as batched MXU matmuls
+    #            over the separable (N, tiles_y) x (N, tiles_x) interval
+    #            indicators — O(N*(tx+ty)) construction instead of O(N*T),
+    #            and counts <= 128 are exact in bf16;
+    #   scan:    block-count cumsums locate the block holding entry k; the
+    #            per-(tile, slot) compare work is linear in the top-level
+    #            block count, so the hierarchy depth adapts to N — two levels
+    #            up to 512 blocks (N <= 64k), three levels (32-block
+    #            superblocks) beyond (a flat scan at N = 1M is ~20x the work);
+    #   bits:    the chosen block's membership bits are recomputed on the fly
+    #            from ONE gathered int32 of byte-packed tile AABBs per
+    #            gaussian — 4x less gather traffic than four interval rows.
     blk = 128
     n_pad = -(-n // blk) * blk
-    if n_pad != n:
-        member_t = jnp.pad(member_t, ((0, 0), (0, n_pad - n)))
+    pad = n_pad - n
+    tile_col = jnp.arange(tiles_x, dtype=jnp.float32)
+    tile_row = jnp.arange(tiles_y, dtype=jnp.float32)
+    in_x = (
+        (tile_col[None, :] >= tx0[:, None])
+        & (tile_col[None, :] <= tx1[:, None])
+        & valid[:, None]
+    )
+    in_y = (tile_row[None, :] >= ty0[:, None]) & (tile_row[None, :] <= ty1[:, None])
+    if pad:
+        in_x = jnp.pad(in_x, ((0, pad), (0, 0)))
+        in_y = jnp.pad(in_y, ((0, pad), (0, 0)))
     nb = n_pad // blk
-    member_blocks = member_t.reshape(t, nb, blk)
-    block_counts = jnp.sum(member_blocks, axis=2, dtype=jnp.int32)  # (T, nb)
-    block_cum = jnp.cumsum(block_counts, axis=1)  # inclusive (T, nb)
-    count_full = block_cum[:, -1]
+    counts_yx = jnp.einsum(
+        "nky,nkx->nyx",
+        in_y.reshape(nb, blk, tiles_y).astype(jnp.bfloat16),
+        in_x.reshape(nb, blk, tiles_x).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (nb, ty, tx) exact integer counts
+    block_counts = counts_yx.reshape(nb, t).T.astype(jnp.int32)  # (T, nb)
 
+    # byte-packed per-gaussian AABB (tile grids are <= 256 wide: 4096 px)
+    packed_aabb = (
+        (jnp.where(valid, tx0, 255.0).astype(jnp.int32) << 24)
+        | (tx1.astype(jnp.int32) << 16)
+        | (ty0.astype(jnp.int32) << 8)
+        | ty1.astype(jnp.int32)
+    )  # invalid -> tx0 = 255 > tx1: empty interval
+    if pad:
+        packed_aabb = jnp.pad(
+            packed_aabb, (0, pad), constant_values=np.int32(np.uint32(255 << 24))
+        )
+    aabb_blocks = packed_aabb.reshape(1, nb, blk)
     ks = jnp.arange(k_per_tile, dtype=jnp.int32)  # 0-based slot ids
-    # block holding the (k+1)-th member: #blocks whose cumulative count <= k
-    blk_idx = jnp.sum(
-        block_cum[:, None, :] <= ks[None, :, None], axis=2, dtype=jnp.int32
-    )  # (T, K), == nb when k >= count
-    blk_idx_safe = jnp.minimum(blk_idx, nb - 1)
-    prior = jnp.where(
-        blk_idx_safe > 0,
-        jnp.take_along_axis(block_cum, jnp.maximum(blk_idx_safe - 1, 0), axis=1),
-        0,
-    )  # members before the block (T, K)
-    bits = jnp.take_along_axis(
-        member_blocks, blk_idx_safe[:, :, None], axis=1
-    )  # (T, K, blk) — contiguous 128-bit rows
+
+    if nb <= 512:
+        # two levels: block scan -> in-block bit scan
+        block_cum = jnp.cumsum(block_counts, axis=1)  # inclusive (T, nb)
+        count_full = block_cum[:, -1]
+        # block holding the (k+1)-th member: #blocks with cum count <= k
+        blk_idx = jnp.sum(
+            block_cum[:, None, :] <= ks[None, :, None], axis=2, dtype=jnp.int32
+        )  # (T, K), == nb when k >= count
+        blk_idx_safe = jnp.minimum(blk_idx, nb - 1)
+        prior = jnp.where(
+            blk_idx_safe > 0,
+            jnp.take_along_axis(
+                block_cum, jnp.maximum(blk_idx_safe - 1, 0), axis=1
+            ),
+            0,
+        )  # members before the block (T, K)
+    else:
+        # three levels: superblock scan -> 32-entry sub-block row -> bits
+        subs = 32
+        nb_pad = -(-nb // subs) * subs
+        if nb_pad != nb:
+            block_counts = jnp.pad(block_counts, ((0, 0), (0, nb_pad - nb)))
+        nb0 = nb_pad // subs
+        sub_cum = jnp.cumsum(
+            block_counts.reshape(t, nb0, subs), axis=2
+        )  # (T, nb0, subs) inclusive within superblock
+        sup_cum = jnp.cumsum(sub_cum[:, :, -1], axis=1)  # (T, nb0) inclusive
+        count_full = sup_cum[:, -1]
+        sup_idx = jnp.sum(
+            sup_cum[:, None, :] <= ks[None, :, None], axis=2, dtype=jnp.int32
+        )  # (T, K)
+        sup_safe = jnp.minimum(sup_idx, nb0 - 1)
+        prior0 = jnp.where(
+            sup_safe > 0,
+            jnp.take_along_axis(sup_cum, jnp.maximum(sup_safe - 1, 0), axis=1),
+            0,
+        )  # members before the superblock (T, K)
+        sub_row = jnp.take_along_axis(
+            sub_cum, sup_safe[:, :, None], axis=1
+        )  # (T, K, subs)
+        need1 = (ks[None, :] - prior0 + 1)[:, :, None]
+        sub_idx = jnp.sum(sub_row < need1, axis=2, dtype=jnp.int32)  # (T, K)
+        sub_safe = jnp.minimum(sub_idx, subs - 1)
+        prior = prior0 + jnp.where(
+            sub_safe > 0,
+            jnp.take_along_axis(
+                sub_row, jnp.maximum(sub_safe - 1, 0)[:, :, None], axis=2
+            )[:, :, 0],
+            0,
+        )  # members before the 128-block (T, K)
+        blk_idx_safe = jnp.minimum(sup_safe * subs + sub_safe, nb - 1)
+
+    rows = jnp.take_along_axis(
+        aabb_blocks, blk_idx_safe[:, :, None], axis=1
+    )  # (T, K, blk) — one packed-AABB int32 per gaussian of the chosen block
+    tile_tx = (jnp.arange(t, dtype=jnp.int32) % tiles_x)[:, None, None]
+    tile_ty = (jnp.arange(t, dtype=jnp.int32) // tiles_x)[:, None, None]
+    bits = (
+        ((rows >> 24) & 0xFF) <= tile_tx
+    ) & (tile_tx <= ((rows >> 16) & 0xFF)) & (
+        ((rows >> 8) & 0xFF) <= tile_ty
+    ) & (tile_ty <= (rows & 0xFF))
     local_cum = jnp.cumsum(bits.astype(jnp.int32), axis=2)
     needed = (ks[None, :] - prior + 1)[:, :, None]  # (T, K, 1)
     pos = jnp.sum(local_cum < needed, axis=2, dtype=jnp.int32)  # (T, K)

@@ -74,6 +74,21 @@ def _render_views(
     return jax.vmap(one)(w2cs)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "scale"))
+def _render_views_quantized(
+    buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256, scale: float = 1.0
+):
+    """_render_views with on-device quantization of the score inputs:
+    depth as uint16 millimeters (the dataset-dump precision, io/manifest),
+    alpha as uint8 /255. Hole scoring thresholds invisibility at 0.3/0.8, so
+    1/255 quantization is far below its sensitivity — and the host transfer
+    shrinks 2.7x, which dominates the query latency on large maps."""
+    _, depth, alpha = _render_views(buf, w2cs, chunk, scale)
+    depth_mm = jnp.clip(jnp.round(depth * 1000.0), 0, 65535).astype(jnp.uint16)
+    alpha_u8 = jnp.round(jnp.clip(alpha, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return depth_mm, alpha_u8
+
+
 def pano_view_poses(view_c2w: np.ndarray) -> np.ndarray:
     """The 3 look-around c2ws: successive 120-deg rotations about the
     camera's own vertical axis (splatam/__init__.py:716-717)."""
@@ -141,7 +156,7 @@ def global_invisibility(
     width, height = pano_dims(scale)
     depth_parts, alpha_parts = [], []
     for start in range(0, padded, view_chunk):
-        _, d_c, a_c = _render_views(
+        d_c, a_c = _render_views_quantized(
             buf,
             jnp.asarray(w2cs_np[start : start + view_chunk], jnp.float32),
             chunk,
@@ -149,11 +164,17 @@ def global_invisibility(
         )
         depth_parts.append(np.asarray(d_c))
         alpha_parts.append(np.asarray(a_c))
-    depth = np.concatenate(depth_parts, 0)[:m].reshape(
-        n, PANO_VIEWS, height, width
+    depth = (
+        np.concatenate(depth_parts, 0)[:m]
+        .reshape(n, PANO_VIEWS, height, width)
+        .astype(np.float64)
+        / 1000.0
     )
-    alpha = np.concatenate(alpha_parts, 0)[:m].reshape(
-        n, PANO_VIEWS, height, width
+    alpha = (
+        np.concatenate(alpha_parts, 0)[:m]
+        .reshape(n, PANO_VIEWS, height, width)
+        .astype(np.float64)
+        / 255.0
     )
 
     results = []
@@ -181,7 +202,12 @@ def local_invisibility(
     c2w or None, invisibility panorama). A reorientation toward the largest
     invisible cluster is proposed when its direction is > 15 deg off-center
     (get_local_invisibility, splatam/__init__.py:761-838)."""
-    _, _, invis = render_panorama(buf, view_c2w, chunk, scale)
+    # lean transfer: only the alpha panorama crosses to host (u8; the rgb
+    # and depth channels of render_panorama are unused here)
+    poses = pano_view_poses(view_c2w)
+    w2cs = jnp.asarray(np.linalg.inv(poses), jnp.float32)
+    _, alpha_u8 = _render_views_quantized(buf, w2cs, chunk, scale)
+    invis = 1.0 - np.concatenate(np.asarray(alpha_u8), axis=1) / 255.0
     sum_invis = float(np.sum(invis))
     best_pose = None
     if sum_invis > 100.0 * scale * scale:

@@ -17,6 +17,7 @@ DEcreasing (the camera below looks along -height with x_cam aligned to dim_i).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -177,8 +178,44 @@ def render_topdown(
     from activesplat_tpu.ops.render import forward_backend
 
     cam = topdown_camera(cfg)
-    sliced = height_slice_mask(buf, cfg, foot_adjust)
     backend = forward_backend()
+    both_u8, free_alpha = _topdown_binary(
+        buf,
+        cam,
+        jnp.float32(cfg.agent_foot + foot_adjust),
+        jnp.float32(cfg.agent_head),
+        height_axis=cfg.height_axis,
+        chunk=chunk,
+        k_per_tile=k_per_tile,
+        backend=backend,
+    )
+    # Binarization (and the height slice) happen ON DEVICE and only one
+    # stacked 1-byte/px map pair crosses to host in a single fetch — the f32
+    # alpha + rgb images are ~16x the traffic, and transfers + per-call eager
+    # dispatch (not the render) dominated the query latency at 1M Gaussians.
+    both = np.asarray(both_u8)
+    return both[0], both[1], free_alpha
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height_axis", "chunk", "k_per_tile", "backend")
+)
+def _topdown_binary(
+    buf: GaussianBuffer,
+    cam: Camera,
+    foot: jnp.ndarray,
+    head: jnp.ndarray,
+    *,
+    height_axis: int,
+    chunk: int,
+    k_per_tile: int,
+    backend: str,
+):
+    """Both topdown renders + height slice + binarization as one device
+    program. Returns (stacked (2, H, W) u8 [free, unobserved], free_alpha
+    f32 [left on device])."""
+    h = buf.params.means3d[:, height_axis]
+    sliced = (h >= foot) & (h <= head)
     free = render_jit(
         buf,
         cam,
@@ -197,16 +234,14 @@ def render_topdown(
         k_per_tile=k_per_tile,
         backend=backend,
     )
-    free_opacity = np.asarray(free.alpha)
-    free_binary = (free_opacity <= FREE_OPACITY_THRESHOLD).astype(np.uint8)
-    rgb = np.asarray(full.rgb)
+    free_u8 = (free.alpha <= FREE_OPACITY_THRESHOLD).astype(jnp.uint8)
     # uint8 quantization + grayscale, as the reference compares gray == 255
-    rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
-    gray = (
+    rgb_u8 = jnp.round(jnp.clip(full.rgb, 0.0, 1.0) * 255.0)
+    gray = jnp.round(
         0.299 * rgb_u8[..., 0] + 0.587 * rgb_u8[..., 1] + 0.114 * rgb_u8[..., 2]
-    ).round()
-    unobserved_binary = (gray == 255).astype(np.uint8)
-    return free_binary, unobserved_binary, free_opacity
+    )
+    unobs_u8 = (gray == 255.0).astype(jnp.uint8)
+    return jnp.stack([free_u8, unobs_u8]), free.alpha
 
 
 def horizon_bbox_topdown(

@@ -155,3 +155,30 @@ def test_pallas_backend_channel_cap(rng):
             proj.radius, proj.depth,
             width=W, height=H, k_per_tile=64, backend="pallas",
         )
+
+
+def test_bin_three_level_matches_oracle(rng):
+    """The three-level compaction (N > 64k, used by whole-map topdown
+    queries) produces exactly the per-tile lists a numpy counting-sort
+    gives."""
+    n = 70_000  # n_pad = 70016 -> nb = 547 > 512 -> three-level branch
+    mean2d = jnp.asarray(rng.uniform(-10, 70, (n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.uniform(0.5, 3.0, (n,)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=n) < 0.01)  # ~700 live
+    k = 64
+    lists = bin_gaussians(mean2d, radius, valid, 64, 48, k_per_tile=k)
+
+    m = np.asarray(mean2d); r = np.asarray(radius); v = np.asarray(valid)
+    tiles_x, tiles_y = 4, 3
+    tx0 = np.clip(np.floor((m[:, 0] - r) / 16), 0, tiles_x - 1)
+    tx1 = np.clip(np.floor((m[:, 0] + r) / 16), 0, tiles_x - 1)
+    ty0 = np.clip(np.floor((m[:, 1] - r) / 16), 0, tiles_y - 1)
+    ty1 = np.clip(np.floor((m[:, 1] + r) / 16), 0, tiles_y - 1)
+    for t in range(tiles_x * tiles_y):
+        tx, ty = t % tiles_x, t // tiles_x
+        members = np.where(
+            v & (tx0 <= tx) & (tx <= tx1) & (ty0 <= ty) & (ty <= ty1)
+        )[0]
+        assert int(lists.count[t]) == min(len(members), k), t
+        got = np.asarray(lists.indices[t][: min(len(members), k)])
+        np.testing.assert_array_equal(got, members[:k], err_msg=f"tile {t}")
