@@ -69,6 +69,9 @@ class MapperConfig:
     use_sil_for_loss: bool = False
     ignore_outlier_depth_loss: bool = False
     lrs: LearningRates = LearningRates()
+    # experiment tracking (use_wandb, online_habitat_sim.py:14; falls back
+    # to a metrics.jsonl file tracker when wandb is not importable)
+    use_wandb: bool = False
     # densification
     add_new_gaussians: bool = True
     densify_downscale_factor: int = 1

@@ -91,6 +91,9 @@ class SplaTAMMapper:
         self.mapping_frame_time_count = 0
         self.last_metrics: Dict[str, float] = {}
         self.online_metrics: List[Dict[str, float]] = []
+        from activesplat_tpu.io.metrics_log import get_tracker
+
+        self.tracker = get_tracker(cfg.use_wandb, results_dir)
         self.high_loss_samples_pose_c2w: Optional[np.ndarray] = None
 
         self.dumper: Optional[DatasetDumper] = None
@@ -266,6 +269,7 @@ class SplaTAMMapper:
             # online progress record (role of report_progress + the
             # online_psnr.txt summaries, eval_helpers.py:153-277, 370-402)
             self.online_metrics.append({"frame": frame_id, **self.last_metrics})
+            self.tracker.log(self.last_metrics, step=frame_id)
 
         # Gradient-based clone/split densification (off by default, as in
         # the reference config online_habitat_sim.py:81).
@@ -315,6 +319,7 @@ class SplaTAMMapper:
     def post_processing(self) -> Optional[str]:
         """Final export (post_processing semantics,
         splatam/__init__.py:544-578)."""
+        self.tracker.finish()
         iters = max(self.mapping_iter_time_count, 1)
         frames = max(self.mapping_frame_time_count, 1)
         print(

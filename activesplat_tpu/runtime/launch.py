@@ -72,6 +72,7 @@ def run_episode(
     save_dataset: bool = True,
     max_ticks: int = 100000,
     pano_scale: float = 1.0,
+    live_view_port=None,
 ):
     """Run one exploration episode to budget exhaustion. Returns
     (mapper_node, planner)."""
@@ -88,6 +89,7 @@ def run_episode(
         save_runtime_data=save_runtime_data,
         save_dataset=save_dataset,
         pano_scale=pano_scale,
+        live_view_port=live_view_port,
     )
     planner = PlannerFSM(bus, save_runtime_data=save_runtime_data)
     # set ACTIVESPLAT_TRACE_DIR to capture a device profile of the episode
@@ -203,6 +205,10 @@ def main():
     parser.add_argument("--results_dir", required=True)
     parser.add_argument("--pixel_max", type=int, default=360)
     parser.add_argument("--save_runtime_data", type=int, default=0)
+    parser.add_argument(
+        "--live_view_port", type=int, default=None,
+        help="serve the headless live-view dashboard on this port (0 = auto)",
+    )
     parser.add_argument("--config", type=str, default=None, help="dataset JSON config")
     parser.add_argument(
         "--mode",
@@ -246,6 +252,7 @@ def main():
             args.results_dir,
             pixel_max=args.pixel_max,
             save_runtime_data=bool(args.save_runtime_data),
+            live_view_port=args.live_view_port,
         )
     print("episode finished:", mapper_node.mapper.num_gaussians(), "gaussians")
 

@@ -42,6 +42,7 @@ class MapperNode:
         save_dataset: bool = True,
         pano_scale: float = 1.0,
         record_view_every: int = 100,
+        live_view_port: Optional[int] = None,
     ) -> None:
         self.bus = bus
         self.dataset = dataset
@@ -89,6 +90,12 @@ class MapperNode:
             from activesplat_tpu.io.recorder import RuntimeRecorder
 
             self.recorder = RuntimeRecorder(results_dir)
+        self.live_view = None
+        if live_view_port is not None:
+            from activesplat_tpu.runtime.liveview import LiveView
+
+            self.live_view = LiveView(live_view_port)
+            print(f"live view: http://127.0.0.1:{self.live_view.port}/")
 
         bus.register_service("get_dataset_config", lambda: cfg_ds)
         bus.register_service("get_topdown_config", self._get_topdown_config)
@@ -136,6 +143,21 @@ class MapperNode:
             )
         self.mapper.run(frame)
         self.last_frame = frame
+        if self.live_view is not None:
+            step, budget = self.dataset.get_step_info()
+            self.live_view.update_metrics(
+                {
+                    "step": step,
+                    "step_budget": budget,
+                    "num_gaussians": self.mapper.num_gaussians(),
+                    **self.mapper.last_metrics,
+                }
+            )
+            if step % self.record_view_every == 0:
+                view = self.mapper.render_view(
+                    self.mapper._camera(np.linalg.inv(frame["c2w"]))
+                )
+                self.live_view.update_view(view["rgb"], view["depth"])
         if self.recorder is not None:
             step, _ = self.dataset.get_step_info()
             if step % self.record_view_every == 0:
@@ -189,6 +211,8 @@ class MapperNode:
         self._finished = True
         self.global_state = GlobalState.QUIT
         self.mapper.post_processing()
+        if self.live_view is not None:
+            self.live_view.close()
         if self.bus.has_service("set_planner_state"):
             self.bus.call("set_planner_state", GlobalState.QUIT)
 
@@ -213,6 +237,8 @@ class MapperNode:
             )
         if self.recorder is not None:
             self.recorder.save_topdown(free_binary, unobserved_binary)
+        if self.live_view is not None:
+            self.live_view.update_topdown(free_binary, unobserved_binary)
         response = {
             "free_map": free_binary,
             "visible_map": unobserved_binary,

@@ -265,3 +265,57 @@ def test_rgbd_silhouette_panel(tmp_path):
     assert panels
     img = cv2.imread(panels[0])
     assert img.shape == (64, 96, 3)  # 2x3 grid of 32x32 cells
+
+
+def test_live_view_server(tmp_path):
+    """Headless live-view dashboard (the GUI stand-in): HTTP endpoints serve
+    the latest render, topdown maps and metrics during an episode."""
+    import json
+    import urllib.request
+
+    from activesplat_tpu.runtime.bus import Bus
+    from activesplat_tpu.runtime.mapper_node import MapperNode
+    from activesplat_tpu.runtime.dataloader import action_to_twist
+
+    dataset = make_dataset(None, step_num=5)
+    bus = Bus()
+    node = MapperNode(
+        bus, dataset, SMALL_CFG, str(tmp_path), pixel_max=40,
+        save_dataset=False, record_view_every=1, live_view_port=0,
+    )
+    bus.publish("cmd_vel", action_to_twist(SimAction.TURN_LEFT))
+    node._get_topdown(False)  # populates the topdown panel
+    base = f"http://127.0.0.1:{node.live_view.port}"
+    page = urllib.request.urlopen(base + "/", timeout=5).read()
+    assert b"live view" in page
+    for endpoint in ("/view.png", "/topdown.png"):
+        img = urllib.request.urlopen(base + endpoint, timeout=5).read()
+        assert img[:8] == b"\x89PNG\r\n\x1a\n", endpoint
+    metrics = json.loads(
+        urllib.request.urlopen(base + "/metrics.json", timeout=5).read()
+    )
+    assert metrics["num_gaussians"] > 0
+    assert metrics["step"] == 1
+    node.finish()
+
+
+def test_metrics_tracker_fallback(tmp_path):
+    """use_wandb without wandb installed falls back to metrics.jsonl
+    (use_wandb knob, online_habitat_sim.py:14)."""
+    import dataclasses
+    import json
+
+    from activesplat_tpu.runtime.bus import Bus
+    from activesplat_tpu.runtime.mapper_node import MapperNode
+    from activesplat_tpu.runtime.dataloader import action_to_twist
+
+    cfg = dataclasses.replace(SMALL_CFG, use_wandb=True)
+    dataset = make_dataset(None, step_num=5)
+    bus = Bus()
+    node = MapperNode(bus, dataset, cfg, str(tmp_path), pixel_max=40,
+                      save_dataset=False)
+    for _ in range(3):
+        bus.publish("cmd_vel", action_to_twist(SimAction.TURN_LEFT))
+    node.finish()
+    rows = [json.loads(l) for l in open(str(tmp_path / "metrics.jsonl"))]
+    assert rows and all("psnr" in r and "step" in r for r in rows)
