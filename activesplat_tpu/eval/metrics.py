@@ -114,18 +114,25 @@ def lpips_available() -> bool:
 
 
 def lpips(img_a: np.ndarray, img_b: np.ndarray) -> Optional[float]:
-    """LPIPS(alexnet) if torchmetrics + weights are available, else None
-    (eval_helpers.py:16,485-487)."""
-    if not lpips_available():
-        return None
-    import torch
-    from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
+    """LPIPS(alexnet): torchmetrics when importable, else the native JAX
+    implementation when ACTIVESPLAT_LPIPS_WEIGHTS points at a converted
+    checkpoint (eval/lpips_jax.py), else None (eval_helpers.py:16,485-487)."""
+    if lpips_available():
+        import torch
+        from torchmetrics.image.lpip import (
+            LearnedPerceptualImagePatchSimilarity,
+        )
 
-    metric = LearnedPerceptualImagePatchSimilarity(net_type="alex", normalize=True)
-    a = torch.from_numpy(np.asarray(img_a, np.float32)).permute(2, 0, 1)[None]
-    b = torch.from_numpy(np.asarray(img_b, np.float32)).permute(2, 0, 1)[None]
-    with torch.no_grad():
-        return float(metric(a, b))
+        metric = LearnedPerceptualImagePatchSimilarity(
+            net_type="alex", normalize=True
+        )
+        a = torch.from_numpy(np.asarray(img_a, np.float32)).permute(2, 0, 1)[None]
+        b = torch.from_numpy(np.asarray(img_b, np.float32)).permute(2, 0, 1)[None]
+        with torch.no_grad():
+            return float(metric(a, b))
+    from activesplat_tpu.eval import lpips_jax
+
+    return lpips_jax.lpips(img_a, img_b)
 
 
 def frame_report(

@@ -5,11 +5,15 @@ every pixel — O(N * P). Real scenes are sparse: a splat touches a handful of
 16x16 tiles. This module implements the TPU-shaped equivalent of the CUDA
 rasterizer's tile binning WITHOUT dynamic lists:
 
-  1. project + depth-sort globally (XLA sort, once per frame);
-  2. build fixed-capacity per-tile index lists (T, K): a (T, N) membership
-     matrix (Gaussian AABB vs tile) is compacted per tile by cumsum + scatter,
-     keeping the K *nearest* (depth-sorted) members — farther ones are
-     occluded and dropped (counted, so callers can raise K);
+  1. project + depth-sort globally (one multi-operand XLA sort per frame,
+     binning attributes packed into two extra operands);
+  2. build fixed-capacity per-tile index lists (T, K) by counting-sort over
+     the depth order: per-block member counts come from batched MXU matmuls
+     of the separable tile-interval indicators, a hierarchical block-count
+     scan locates the block holding each slot, and the block's membership
+     bits are recomputed from byte-packed screen AABBs — no (T, N) matrix,
+     no scatters. The K *nearest* (depth-sorted) members are kept; farther
+     ones are occluded and dropped (counted, so callers can raise K);
   3. gather per-tile parameters and run the same log-space front-to-back
      blend per tile, vmapped over tiles — identical math to raster_xla, but
      each tile only sees its own K Gaussians.
