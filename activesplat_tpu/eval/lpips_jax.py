@@ -45,6 +45,11 @@ def weights_path() -> Optional[str]:
     return path if path and os.path.exists(path) else None
 
 
+# device-resident weight cache: the ~10 MB AlexNet upload must not repeat
+# per evaluated frame (host->device through the relay is the slow path here)
+_CACHE: Dict[str, Dict[str, jnp.ndarray]] = {}
+
+
 def available() -> bool:
     return weights_path() is not None
 
@@ -96,8 +101,11 @@ def _lpips_pair(img_a, img_b, weights):
     taps_b = _features(prep(img_b), weights)
     total = 0.0
     for i, (fa, fb) in enumerate(zip(taps_a, taps_b)):
-        na = fa / jnp.sqrt(jnp.sum(fa * fa, axis=-1, keepdims=True) + 1e-10)
-        nb = fb / jnp.sqrt(jnp.sum(fb * fb, axis=-1, keepdims=True) + 1e-10)
+        # normalize_tensor semantics: x / (||x|| + eps), eps OUTSIDE the sqrt
+        # (the lpips package's util; an in-sqrt eps under-weights small-norm
+        # post-ReLU positions by orders of magnitude)
+        na = fa / (jnp.sqrt(jnp.sum(fa * fa, axis=-1, keepdims=True)) + 1e-10)
+        nb = fb / (jnp.sqrt(jnp.sum(fb * fb, axis=-1, keepdims=True)) + 1e-10)
         diff2 = (na - nb) ** 2
         lin = weights[f"lin{i}_w"]  # (C,) non-negative 1x1 head
         total = total + jnp.mean(jnp.sum(diff2 * lin[None, None, None, :], -1))
@@ -113,8 +121,14 @@ def lpips(
         path = weights_path()
         if path is None:
             return None
-        weights = load_weights(path)
-    w = {k: jnp.asarray(v, jnp.float32) for k, v in weights.items()}
+        if path not in _CACHE:
+            _CACHE[path] = {
+                k: jnp.asarray(v, jnp.float32)
+                for k, v in load_weights(path).items()
+            }
+        w = _CACHE[path]
+    else:
+        w = {k: jnp.asarray(v, jnp.float32) for k, v in weights.items()}
     a = jnp.clip(jnp.asarray(img_a, jnp.float32), 0.0, 1.0)
     b = jnp.clip(jnp.asarray(img_b, jnp.float32), 0.0, 1.0)
     return float(_lpips_pair(a, b, w))

@@ -118,18 +118,25 @@ def lpips(img_a: np.ndarray, img_b: np.ndarray) -> Optional[float]:
     implementation when ACTIVESPLAT_LPIPS_WEIGHTS points at a converted
     checkpoint (eval/lpips_jax.py), else None (eval_helpers.py:16,485-487)."""
     if lpips_available():
-        import torch
-        from torchmetrics.image.lpip import (
-            LearnedPerceptualImagePatchSimilarity,
-        )
+        try:
+            import torch
+            from torchmetrics.image.lpip import (
+                LearnedPerceptualImagePatchSimilarity,
+            )
 
-        metric = LearnedPerceptualImagePatchSimilarity(
-            net_type="alex", normalize=True
-        )
-        a = torch.from_numpy(np.asarray(img_a, np.float32)).permute(2, 0, 1)[None]
-        b = torch.from_numpy(np.asarray(img_b, np.float32)).permute(2, 0, 1)[None]
-        with torch.no_grad():
-            return float(metric(a, b))
+            metric = LearnedPerceptualImagePatchSimilarity(
+                net_type="alex", normalize=True
+            )
+            a = torch.from_numpy(
+                np.asarray(img_a, np.float32)
+            ).permute(2, 0, 1)[None]
+            b = torch.from_numpy(
+                np.asarray(img_b, np.float32)
+            ).permute(2, 0, 1)[None]
+            with torch.no_grad():
+                return float(metric(a, b))
+        except Exception:
+            pass  # e.g. pretrained-weight download blocked: fall through
     from activesplat_tpu.eval import lpips_jax
 
     return lpips_jax.lpips(img_a, img_b)

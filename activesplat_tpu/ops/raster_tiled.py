@@ -312,7 +312,10 @@ def _rasterize_tiled_data(
     # is absorbed by inflating the radius by the 1/16-px rounding bound —
     # extra marginal tile members blend at zero alpha (< ALPHA_MIN cut).
     sg = jax.lax.stop_gradient
-    scale = 16.0
+    # 1/8 px fixed point spans +/-4096 px in int16 — the same limit as the
+    # byte-packed tile AABBs (256 tiles of 16 px); finer scales would
+    # silently mis-bin renders wider than their range
+    scale = 8.0
     lim = float(2**15 - 2)
     qx = jnp.clip(jnp.round(sg(data[:, 0]) * scale), -lim, lim).astype(jnp.int32)
     qy = jnp.clip(jnp.round(sg(data[:, 1]) * scale), -lim, lim).astype(jnp.int32)

@@ -150,13 +150,22 @@ def topdown_camera(cfg: TopdownConfig) -> Camera:
     )
 
 
+def _band_mask(means3d: jnp.ndarray, height_axis: int, foot, head) -> jnp.ndarray:
+    h = means3d[:, height_axis]
+    return (h >= foot) & (h <= head)
+
+
 def height_slice_mask(
     buf: GaussianBuffer, cfg: TopdownConfig, foot_adjust: float = 0.0
 ) -> jnp.ndarray:
     """Active-override mask keeping Gaussians within the agent's body band
     (role of __cut_gaussian_by_height, visualizer.py:2277-2286)."""
-    h = buf.params.means3d[:, cfg.height_axis]
-    return (h >= cfg.agent_foot + foot_adjust) & (h <= cfg.agent_head)
+    return _band_mask(
+        buf.params.means3d,
+        cfg.height_axis,
+        cfg.agent_foot + foot_adjust,
+        cfg.agent_head,
+    )
 
 
 def render_topdown(
@@ -214,8 +223,7 @@ def _topdown_binary(
     """Both topdown renders + height slice + binarization as one device
     program. Returns (stacked (2, H, W) u8 [free, unobserved], free_alpha
     f32 [left on device])."""
-    h = buf.params.means3d[:, height_axis]
-    sliced = (h >= foot) & (h <= head)
+    sliced = _band_mask(buf.params.means3d, height_axis, foot, head)
     free = render_jit(
         buf,
         cam,
@@ -235,8 +243,10 @@ def _topdown_binary(
         backend=backend,
     )
     free_u8 = (free.alpha <= FREE_OPACITY_THRESHOLD).astype(jnp.uint8)
-    # uint8 quantization + grayscale, as the reference compares gray == 255
-    rgb_u8 = jnp.round(jnp.clip(full.rgb, 0.0, 1.0) * 255.0)
+    # uint8 TRUNCATION (the reference's .astype(np.uint8) cast) + grayscale,
+    # as the reference compares gray == 255 — rounding would flip faintly
+    # observed pixels (rgb ~0.999) back to "unobserved"
+    rgb_u8 = jnp.floor(jnp.clip(full.rgb, 0.0, 1.0) * 255.0)
     gray = jnp.round(
         0.299 * rgb_u8[..., 0] + 0.587 * rgb_u8[..., 1] + 0.114 * rgb_u8[..., 2]
     )

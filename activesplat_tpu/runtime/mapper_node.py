@@ -153,31 +153,31 @@ class MapperNode:
                     **self.mapper.last_metrics,
                 }
             )
-            if step % self.record_view_every == 0:
-                view = self.mapper.render_view(
-                    self.mapper._camera(np.linalg.inv(frame["c2w"]))
-                )
-                self.live_view.update_view(view["rgb"], view["depth"])
-        if self.recorder is not None:
+        if self.live_view is not None or self.recorder is not None:
             step, _ = self.dataset.get_step_info()
             if step % self.record_view_every == 0:
+                # one render + one host fetch feeds both consumers
                 view = self.mapper.render_view(
                     self.mapper._camera(np.linalg.inv(frame["c2w"]))
                 )
-                gt_d = np.asarray(frame["depth"], np.float64)
-                mask = gt_d > 0
-                diff = np.abs(gt_d - view["depth"])[mask]
-                depth_l1 = float(diff.mean()) if mask.any() else 0.0
-                err = np.mean(
-                    (np.asarray(frame["rgb"], np.float64) - view["rgb"]) ** 2
-                )
-                psnr = float(-10.0 * np.log10(max(err, 1e-12)))
-                self.recorder.save_rgbd_silhouette(
-                    step, frame["rgb"], gt_d, view["rgb"], view["depth"],
-                    view["opacity"], psnr, depth_l1,
-                )
-                rgb8 = (np.clip(view["rgb"], 0, 1) * 255).astype(np.uint8)
-                self.recorder.save_view(step, rgb8, view["depth"])
+                if self.live_view is not None:
+                    self.live_view.update_view(view["rgb"], view["depth"])
+                if self.recorder is not None:
+                    gt_d = np.asarray(frame["depth"], np.float64)
+                    mask = gt_d > 0
+                    diff = np.abs(gt_d - view["depth"])[mask]
+                    depth_l1 = float(diff.mean()) if mask.any() else 0.0
+                    err = np.mean(
+                        (np.asarray(frame["rgb"], np.float64) - view["rgb"])
+                        ** 2
+                    )
+                    psnr = float(-10.0 * np.log10(max(err, 1e-12)))
+                    self.recorder.save_rgbd_silhouette(
+                        step, frame["rgb"], gt_d, view["rgb"], view["depth"],
+                        view["opacity"], psnr, depth_l1,
+                    )
+                    rgb8 = (np.clip(view["rgb"], 0, 1) * 255).astype(np.uint8)
+                    self.recorder.save_view(step, rgb8, view["depth"])
         self._publish_pose(frame)
         if self.dataset.is_finished():
             self.finish()

@@ -173,6 +173,12 @@ class PlannerFSM:
         self.high_connectivity_view_count = 0
         self.saved_mapper_schedule: Optional[Dict[str, int]] = None
         self._last_twist = _twist()
+        # planning-livelock breaker: consecutive SELECT<->NAVIGATE bounces
+        # with no physical movement (reference escalation only covers
+        # dijkstra and movement failures; the navigate-tick whole-path line
+        # test can reject every fresh plan forever when the agent sits in a
+        # free-map pocket)
+        self._no_move_bounces = 0
 
         bus.subscribe("camera_pose", self._on_pose)
         bus.subscribe("movement_fail_times", self._on_movement_fail)
@@ -244,7 +250,31 @@ class PlannerFSM:
 
     def _move(self, twist) -> None:
         self._last_twist = twist
+        self._no_move_bounces = 0
         self.bus.publish("cmd_vel", twist)
+
+    def _bounce_to_select(self) -> None:
+        """NAVIGATE -> SELECT_TARGET without having moved. Escalate like the
+        reference's unreachable-target handling: after repeated bounces the
+        current target joins the fail set (-60 score, planner_node.py:385-387
+        semantics) so selection moves on; if bouncing persists across targets
+        the FSM forces ESCAPE, whose rotate-and-probe physically breaks the
+        free-map pocket causing every fresh plan to fail its line test."""
+        self._no_move_bounces += 1
+        if (
+            self._no_move_bounces % 3 == 0
+            and self.navigation_target_index is not None
+            and self.vg is not None
+        ):
+            self.fail_nodes_index.append(int(self.navigation_target_index))
+            self.fail_vertices = np.vstack(
+                [self.fail_vertices, self.vg.vertices[self.navigation_target_index]]
+            )
+        if self._no_move_bounces >= 24:
+            self._no_move_bounces = 0
+            self.state = PlannerState.ESCAPE
+        else:
+            self.state = PlannerState.SELECT_TARGET
 
     def _turn_towards(self, target_heading_rad: float) -> bool:
         """Issue one turn toward the heading; True if already aligned."""
@@ -721,7 +751,7 @@ class PlannerFSM:
         if not self._refresh_maps(arrived=False):
             return
         if self.navigation_path is None or len(self.navigation_path) == 0:
-            self.state = PlannerState.SELECT_TARGET
+            self._bounce_to_select()
             return
         px = self.pose["px"]
         self.whole_navigation_path_3d = np.array(
@@ -737,7 +767,7 @@ class PlannerFSM:
                 self.continue_global_navigation = False
                 self._begin_local_refine()
             else:
-                self.state = PlannerState.SELECT_TARGET
+                self._bounce_to_select()
             return
 
         # drop passed waypoints
@@ -747,7 +777,7 @@ class PlannerFSM:
                 start = i + 1
         self.navigation_path = self.navigation_path[start:]
         if len(self.navigation_path) == 0:
-            self.state = PlannerState.SELECT_TARGET
+            self._bounce_to_select()
             return
 
         # high-connectivity stopover (planner_node.py:711-725)
@@ -795,7 +825,7 @@ class PlannerFSM:
             )
             test[agent_mask > 0] = self.free_map[agent_mask > 0]
             if cv2.countNonZero(test) != free_pixels:
-                self.state = PlannerState.SELECT_TARGET
+                self._bounce_to_select()
                 return
 
         # heading / step control

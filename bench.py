@@ -186,20 +186,25 @@ def main():
     @jax.jit
     def run_iters(buf, opt):
         def body(i, carry):
-            b, o = carry
+            b, o, acc = carry
             b, o, m = mapping_iteration(b, o, cam, rgb, depth, cfg)
-            return (b, o)
+            # carry the metrics so XLA cannot dead-code-eliminate the
+            # psnr/depth_l1 computation the production mapping_phase keeps
+            acc = acc + m["loss"] + m["psnr"] * 1e-20 + m["depth_l1"] * 1e-20
+            return (b, o, acc)
 
-        return jax.lax.fori_loop(0, iters_timed, body, (buf, opt))
+        return jax.lax.fori_loop(
+            0, iters_timed, body, (buf, opt, jnp.float32(0.0))
+        )
 
     # warmup / compile (sync via a value fetch: block_until_ready does not
     # reliably synchronize through the tunneled-TPU relay)
     out = run_iters(buf, opt)
-    float(np.asarray(out[0].params.means3d[0, 0]))
+    float(np.asarray(out[2]))
 
     t0 = time.perf_counter()
     out = run_iters(buf, opt)
-    float(np.asarray(out[0].params.means3d[0, 0]))  # forces the full chain
+    float(np.asarray(out[2]))  # forces the full chain incl. metrics
     dt = time.perf_counter() - t0
     iters_per_sec = iters_timed / dt
 

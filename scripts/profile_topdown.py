@@ -37,7 +37,6 @@ def main():
 
     from activesplat_tpu.queries.topdown import (
         TOPDOWN_SCALE_MODIFIER,
-        height_slice_mask,
         render_topdown,
         topdown_camera,
         topdown_config_from_bbox,

@@ -26,17 +26,19 @@ def main():
     @jax.jit
     def run(buf, opt):
         def body(i, carry):
-            b, o = carry
+            b, o, acc = carry
             b, o, m = mapping_iteration(b, o, cam, rgb, depth, cfg)
-            return (b, o)
+            # keep the metrics live so the measured program matches production
+            acc = acc + m["loss"] + m["psnr"] * 1e-20 + m["depth_l1"] * 1e-20
+            return (b, o, acc)
 
-        return jax.lax.fori_loop(0, n, body, (buf, opt))
+        return jax.lax.fori_loop(0, n, body, (buf, opt, jnp.float32(0.0)))
 
     out = run(buf, opt)
-    float(np.asarray(out[0].params.means3d[0, 0]))
+    float(np.asarray(out[2]))
     t0 = time.perf_counter()
     out = run(buf, opt)
-    float(np.asarray(out[0].params.means3d[0, 0]))
+    float(np.asarray(out[2]))
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"device={jax.devices()[0].platform} n={n_g} res={width}: "
           f"mapping_iteration {dt:.3f} ms/iter ({1000/dt:.1f} it/s)")

@@ -54,8 +54,9 @@ def torch_lpips(img_a, img_b, weights):
         taps_b = features(prep(img_b))
         total = 0.0
         for i, (fa, fb) in enumerate(zip(taps_a, taps_b)):
-            na = fa / torch.sqrt((fa * fa).sum(1, keepdim=True) + 1e-10)
-            nb = fb / torch.sqrt((fb * fb).sum(1, keepdim=True) + 1e-10)
+            # lpips normalize_tensor: x / (||x|| + eps), eps outside the sqrt
+            na = fa / (torch.sqrt((fa * fa).sum(1, keepdim=True)) + 1e-10)
+            nb = fb / (torch.sqrt((fb * fb).sum(1, keepdim=True)) + 1e-10)
             diff2 = (na - nb) ** 2
             lin = torch.from_numpy(weights[f"lin{i}_w"]).view(1, -1, 1, 1)
             total += float((diff2 * lin).sum(1).mean())

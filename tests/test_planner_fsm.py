@@ -225,3 +225,35 @@ def test_planner_idles_outside_enable_states(tmp_path):
         fsm.tick()
         assert fsm.state == PlannerState.NAVIGATE  # unchanged, no movement
         assert world.forward_count == 0
+
+
+def test_navigate_bounce_livelock_breaker(tmp_path):
+    """Repeated SELECT<->NAVIGATE bounces without movement poison the target
+    (fail set, -60) and eventually force ESCAPE — the planner cannot spin
+    forever when every fresh plan fails the whole-path line test."""
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm._refresh_maps(arrived=True)
+    fsm._refresh_graph(arrived=True)
+    target = int(fsm.vg.nodes_index[0])
+    unsafe_path = np.array([[50.0, 70.0], [50.0, 90.0]])  # cuts the + corner
+
+    fails_before = len(fsm.fail_nodes_index)
+    for i in range(23):
+        fsm.state = PlannerState.NAVIGATE
+        fsm.navigation_path = unsafe_path.copy()
+        fsm.navigation_target_index = target
+        fsm._tick_navigate()
+        assert fsm.state == PlannerState.SELECT_TARGET
+        assert world.forward_count == 0
+    # every 3rd bounce records the stuck target
+    assert fsm.fail_nodes_index.count(target) >= len(
+        fsm.fail_nodes_index[:fails_before]
+    ) + 3
+    # the 24th bounce escalates to ESCAPE
+    fsm.state = PlannerState.NAVIGATE
+    fsm.navigation_path = unsafe_path.copy()
+    fsm._tick_navigate()
+    assert fsm.state == PlannerState.ESCAPE
+    # any real movement resets the breaker
+    fsm._move(FORWARD)
+    assert fsm._no_move_bounces == 0
