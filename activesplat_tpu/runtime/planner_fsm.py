@@ -391,6 +391,10 @@ class PlannerFSM:
         vg = self.vg
         nodes_px = vg.vertices[vg.nodes_index]
         n = len(vg.nodes_index)
+        if n == 0:  # a nodeless graph (e.g. straight corridor) scores nothing
+            self.nodes_score = np.zeros(0, np.int64)
+            self.nodes_invis_score = np.zeros(0, np.int64)
+            return
         flags: Dict[str, np.ndarray] = {}
 
         if len(self.visited_px):
@@ -473,7 +477,7 @@ class PlannerFSM:
             )
             test[agent_mask > 0] = self.free_map[agent_mask > 0]
             los.append(cv2.countNonZero(test) == free_pixels)
-        los = np.asarray(los)
+        los = np.asarray(los, bool)  # explicit dtype: [] defaults to float64
         if self.horizon_bbox_px_translation is not None:
             bb = self.horizon_bbox_px_translation
             in_bb = (

@@ -257,3 +257,19 @@ def test_navigate_bounce_livelock_breaker(tmp_path):
     # any real movement resets the breaker
     fsm._move(FORWARD)
     assert fsm._no_move_bounces == 0
+
+
+def test_nodeless_graph_scores_empty(tmp_path):
+    """A Voronoi graph with no junction nodes (straight corridor) must not
+    crash scoring (regression: empty los list coerced to float64 broke
+    `in_bb & los`); target selection falls back to BOOTSTRAP."""
+    free = np.zeros((GRID, GRID), bool)
+    free[48:53, 10:90] = True  # thin corridor: its pruned graph has 0 nodes
+    bus, world, fsm = make_fsm(tmp_path, free_map=free)
+    fsm.horizon_bbox_px_translation = np.array([[0.0, 0.0], [99.0, 99.0]])
+    fsm.state = PlannerState.SELECT_TARGET
+    fsm.tick()  # must not raise
+    assert len(fsm.nodes_score) == 0 or fsm.state in (
+        PlannerState.BOOTSTRAP,
+        PlannerState.NAVIGATE,
+    )
