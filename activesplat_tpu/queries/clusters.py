@@ -1,9 +1,10 @@
 """Host-side invisibility clustering and hole-volume scoring.
 
 Behavioral equivalents of the reference's DBSCAN/ConvexHull scoring
-(src/mapper/__init__.py:8-117). Data here is tiny (360x150 panoramas), so
-host numpy/sklearn/scipy is the right tool — identical to the reference's
-placement of this work.
+(src/mapper/__init__.py:8-117), placed on host like the reference. Small
+point sets use sklearn DBSCAN verbatim; large ones (mostly-invisible early
+panoramas — the planner's hot path) switch to a morphological grid DBSCAN
+that computes the same density clustering in a few O(HW) image ops.
 """
 
 from __future__ import annotations
@@ -16,6 +17,72 @@ import scipy.spatial
 from sklearn.cluster import DBSCAN
 
 
+# Above this many pixels, DBSCAN switches to the morphological grid path:
+# sklearn's KD-tree walk costs ~190 ms on a mostly-invisible 150x360 panorama
+# (21k points x ~78 neighbors), which is the planner's early-exploration hot
+# path; the grid formulation computes the same density clustering in a few
+# O(HW) image ops. Below the threshold the exact sklearn result is kept.
+GRID_DBSCAN_MIN_POINTS = 5000
+
+
+def _disk_kernel(radius: float) -> np.ndarray:
+    r = int(np.floor(radius))
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    return (yy * yy + xx * xx <= radius * radius).astype(np.uint8)
+
+
+def _grid_dbscan_labels(
+    shape: Tuple[int, int], points: np.ndarray, eps: float, min_samples: int
+) -> np.ndarray:
+    """DBSCAN for integer grid points via image morphology.
+
+    core = points with >= min_samples neighbors in the eps-disk (disk-kernel
+    convolution, self included — sklearn semantics); clusters = connected
+    components of cores dilated by an eps/2 disk (cores within eps overlap);
+    border points join the cluster of their nearest core within eps (DBSCAN
+    border assignment is implementation-order-defined, so 'nearest' is as
+    valid as sklearn's visit order); the rest is noise (-1). Distance
+    discretization at cluster boundaries can differ from sklearn by a pixel
+    — hence the large-N-only switch where such ties are negligible."""
+    mask = np.zeros(shape, np.uint8)
+    mask[points[:, 0], points[:, 1]] = 1
+    disk = _disk_kernel(eps)
+    counts = cv2.filter2D(mask.astype(np.float32), -1, disk.astype(np.float32),
+                          borderType=cv2.BORDER_CONSTANT)
+    core = ((counts >= min_samples - 0.5) & (mask > 0)).astype(np.uint8)
+    merged = cv2.dilate(core, _disk_kernel(eps / 2.0))
+    _, comp = cv2.connectedComponents(merged)
+    comp = np.where(core > 0, comp, 0)
+    # nearest core pixel (and its distance) for border assignment
+    dist, nearest = cv2.distanceTransformWithLabels(
+        (core == 0).astype(np.uint8), cv2.DIST_L2, 5,
+        labelType=cv2.DIST_LABEL_PIXEL,
+    )
+    core_ids = np.flatnonzero(core.reshape(-1))
+    if len(core_ids) == 0:
+        return np.full(len(points), -1, np.int64)
+    # DIST_LABEL_PIXEL ids enumerate zero pixels of the source (the cores)
+    # in scan order, starting at 1
+    id_to_cluster = comp.reshape(-1)[core_ids]
+    cluster_of = np.zeros(int(nearest.max()) + 1, np.int64)
+    cluster_of[1 : len(core_ids) + 1] = id_to_cluster
+    labels_img = np.where(
+        core > 0,
+        comp,
+        np.where(dist <= eps, cluster_of[nearest], 0),
+    )
+    out = labels_img[points[:, 0], points[:, 1]].astype(np.int64) - 1
+    return out  # 0 -> -1 (noise); clusters 0..k-1
+
+
+def _dbscan_labels(
+    shape: Tuple[int, int], points: np.ndarray, eps: float, min_samples: int
+) -> np.ndarray:
+    if len(points) > GRID_DBSCAN_MIN_POINTS:
+        return _grid_dbscan_labels(shape, points, eps, min_samples)
+    return DBSCAN(eps=eps, min_samples=min_samples).fit_predict(points)
+
+
 def get_invisibility_clusters(
     invisibility: np.ndarray, cluster_invisibility_threshold: float = 30.0
 ) -> Tuple[List[np.ndarray], List[float]]:
@@ -25,7 +92,7 @@ def get_invisibility_clusters(
     points = np.column_stack(np.where(invisibility > 0.3))
     if len(points) == 0:
         return [], []
-    labels = DBSCAN(eps=5, min_samples=10).fit_predict(points)
+    labels = _dbscan_labels(invisibility.shape, points, eps=5, min_samples=10)
     centers, sums = [], []
     for label in set(labels):
         if label == -1:
@@ -54,7 +121,7 @@ def get_convexhull_volume(
     points = np.column_stack(np.where(invisibility > 0.8))
     if len(points) == 0:
         return 0.0, 0.0
-    labels = DBSCAN(eps=5, min_samples=25).fit_predict(points)
+    labels = _dbscan_labels(invisibility.shape, points, eps=5, min_samples=25)
     kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (15, 15))
     h_rad_per_px = np.deg2rad(360.0 / depth.shape[1])
     v_rad_per_px = np.deg2rad(vfov_deg / depth.shape[0])

@@ -124,3 +124,30 @@ def test_local_invisibility_detects_hole():
     assert best_pose is not None, f"expected reorientation, invis total {total}"
     # proposed pose should turn the camera: heading changes
     assert not np.allclose(best_pose[:3, 2], c2w[:3, 2], atol=1e-3)
+
+
+def test_grid_dbscan_matches_sklearn():
+    """The morphological grid DBSCAN partitions blob scenes exactly like
+    sklearn (noise set identical, co-clustering identical); only pixel-scale
+    boundary ties may differ, which the blob construction avoids."""
+    import itertools
+
+    from sklearn.cluster import DBSCAN
+
+    from activesplat_tpu.queries.clusters import _grid_dbscan_labels
+
+    rng = np.random.default_rng(1)
+    shape = (150, 360)
+    inv = np.zeros(shape)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    for cy, cx, r in [(40, 60, 18), (100, 200, 25), (70, 300, 12), (20, 330, 9)]:
+        inv[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 0.95
+    inv[rng.uniform(size=shape) < 0.002] = 0.95  # isolated noise speckles
+    pts = np.column_stack(np.where(inv > 0.8))
+    ref = DBSCAN(eps=5, min_samples=25).fit_predict(pts)
+    got = _grid_dbscan_labels(shape, pts, eps=5, min_samples=25)
+    np.testing.assert_array_equal(got == -1, ref == -1)
+    both = np.flatnonzero(ref >= 0)
+    sample = rng.choice(both, size=min(len(both), 300), replace=False)
+    for i, j in itertools.combinations(sample[:60], 2):
+        assert (ref[i] == ref[j]) == (got[i] == got[j])
