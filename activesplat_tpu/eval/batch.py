@@ -78,36 +78,30 @@ def run_batch(
         specs = SCENE_SETS[scene_set]
     results = []
     for spec in specs:
+
+        def build(results_dir):
+            # one constructor for the episode and replay datasets, so their
+            # parameters can never silently diverge
+            if dataset_factory is not None:
+                return dataset_factory(spec, results_dir)
+            return make_synthetic_dataset(
+                scene_id=spec["scene_id"],
+                seed=spec["seed"],
+                step_num=spec["step_num"],
+                width=width,
+                height=height,
+                results_dir=results_dir,
+            )
+
         for rep in range(repetitions):
             run_name = f"{spec['scene_id']}-{spec['seed']}-rep{rep}"
             results_dir = os.path.join(output_dir, run_name)
-            if dataset_factory is not None:
-                dataset = dataset_factory(spec, results_dir)
-            else:
-                dataset = make_synthetic_dataset(
-                    scene_id=spec["scene_id"],
-                    seed=spec["seed"],
-                    step_num=spec["step_num"],
-                    width=width,
-                    height=height,
-                    results_dir=results_dir,
-                )
             run_episode(
-                dataset, results_dir, mapper_cfg=mapper_cfg, pixel_max=pixel_max
+                build(results_dir), results_dir,
+                mapper_cfg=mapper_cfg, pixel_max=pixel_max,
             )
-            if dataset_factory is not None:
-                replay_dataset = dataset_factory(spec, None)
-            else:
-                replay_dataset = make_synthetic_dataset(
-                    scene_id=spec["scene_id"],
-                    seed=spec["seed"],
-                    step_num=spec["step_num"],
-                    width=width,
-                    height=height,
-                    results_dir=None,
-                )
             report = eval_actions(
-                replay_dataset, os.path.join(results_dir, "actions.txt")
+                build(None), os.path.join(results_dir, "actions.txt")
             )
             with open(os.path.join(results_dir, "actions_error.txt"), "w") as fh:
                 fh.write(report.as_row() + "\n")

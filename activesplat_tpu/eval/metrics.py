@@ -24,6 +24,20 @@ def ssim(img_a: np.ndarray, img_b: np.ndarray) -> float:
     return float(_ssim_jax(jnp.asarray(img_a), jnp.asarray(img_b)))
 
 
+def ms_ssim_levels(height: int, width: int, max_levels: int = 5) -> int:
+    """Largest pyramid depth whose coarsest level still fits the 11-px VALID
+    SSIM window UNDER TRUNCATING 2x downsampling (size -> size // 2 per
+    level; the naive `min_side > 10 * 2**(L-1)` bound over-admits borderline
+    sizes like 42 px, whose truncated pyramid 42->20->10 leaves no valid
+    window and made the metric NaN)."""
+    size = min(height, width)
+    levels = 0
+    while levels < max_levels and size >= 11:
+        levels += 1
+        size //= 2
+    return max(levels, 1)
+
+
 def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
     """Multi-scale SSIM matching `pytorch_msssim.ms_ssim` (the reference's
     eval metric, eval_helpers.py:483-484): per level, VALID-windowed SSIM;
@@ -33,15 +47,15 @@ def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
     (pytorch pads odd dims; reference images are 256/512 so dims stay even —
     odd dims here are truncated).
 
-    Requires min(H, W) > (11 - 1) * 2**(levels-1) so the coarsest level
-    still fits a window (pytorch_msssim raises the same way)."""
+    Requires every pyramid level to fit the 11-px window (pytorch_msssim
+    raises for such sizes too; use ms_ssim_levels() to pick a legal depth)."""
     weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
     a = jnp.asarray(img_a, jnp.float32)
     b = jnp.asarray(img_b, jnp.float32)
     if a.ndim == 2:
         a = a[:, :, None]
         b = b[:, :, None]
-    if min(a.shape[0], a.shape[1]) <= 10 * 2 ** (levels - 1):
+    if ms_ssim_levels(a.shape[0], a.shape[1], levels) < levels:
         raise ValueError(
             f"image {a.shape[:2]} too small for {levels}-level MS-SSIM"
         )
@@ -150,15 +164,18 @@ def frame_report(
 ) -> Dict[str, float]:
     l1, rmse = depth_metrics(depth_pred, depth_gt)
     # largest pyramid depth (<=5) the image supports; 5 at the reference's
-    # 256px, fewer for small test frames
-    min_side = min(rgb_pred.shape[0], rgb_pred.shape[1])
-    levels = 1
-    while levels < 5 and min_side > 10 * 2**levels:
-        levels += 1
+    # 256px, fewer for small test frames; below the 11-px VALID window no
+    # level fits, so single-scale SSIM (gaussian-windowed) stands in
+    ssim_val = ssim(rgb_pred, rgb_gt)
+    if min(rgb_pred.shape[0], rgb_pred.shape[1]) >= 11:
+        levels = ms_ssim_levels(rgb_pred.shape[0], rgb_pred.shape[1])
+        ms_val = ms_ssim(rgb_pred, rgb_gt, levels=levels)
+    else:
+        ms_val = ssim_val
     out = {
         "psnr": psnr(rgb_pred, rgb_gt),
-        "ssim": ssim(rgb_pred, rgb_gt),
-        "ms_ssim": ms_ssim(rgb_pred, rgb_gt, levels=levels),
+        "ssim": ssim_val,
+        "ms_ssim": ms_val,
         "depth_l1": l1,
         "depth_rmse": rmse,
     }

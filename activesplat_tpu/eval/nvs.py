@@ -65,6 +65,10 @@ def eval_nvs(
         report = {
             "psnr": float(psnr(w_im, w_gt)),
             "ms_ssim": _ms_ssim_safe(w_im, w_gt),
+            # NOT a true RMSE: sqrt applies per pixel, so this equals the
+            # masked L1 — a deliberate quirk replicated from the reference
+            # (eval_helpers.py eval_nvs: torch.sqrt((diff**2)) elementwise);
+            # metrics.depth_metrics computes the real RMSE
             "depth_rmse": float(np.sqrt(d_err**2).sum() / n_valid),
             "depth_l1": float(np.abs(d_err).sum() / n_valid),
         }
@@ -87,13 +91,11 @@ def eval_nvs(
 
 
 def _ms_ssim_safe(a: np.ndarray, b: np.ndarray) -> float:
-    from activesplat_tpu.eval.metrics import ms_ssim
+    from activesplat_tpu.eval.metrics import ms_ssim, ms_ssim_levels, ssim
 
-    min_side = min(a.shape[0], a.shape[1])
-    levels = 1
-    while levels < 5 and min_side > 10 * 2**levels:
-        levels += 1
-    return float(ms_ssim(a, b, levels=levels))
+    if min(a.shape[0], a.shape[1]) < 11:  # below one VALID window
+        return float(ssim(a, b))
+    return float(ms_ssim(a, b, levels=ms_ssim_levels(a.shape[0], a.shape[1])))
 
 
 def eval_nvs_from_dump(

@@ -82,6 +82,29 @@ def _coverage_chunk(
     return min_dist, all_pts
 
 
+def sample_gt_surface(dataset, num_samples: int = 200_000) -> np.ndarray:
+    """GT surface samples for the coverage judge: the synthetic world's
+    analytic surfaces, or — for mesh-backed datasets like Habitat — 200k
+    trimesh samples of the GT scene mesh (eval_actions.py:65-67)."""
+    world = getattr(dataset, "world", None)
+    if world is not None:
+        return world.sample_surface(num_samples, seed=0)
+    mesh_url = getattr(dataset, "scene_mesh_url", None)
+    if mesh_url:
+        try:
+            import trimesh
+        except ImportError as exc:
+            raise RuntimeError(
+                "coverage eval for a mesh-backed dataset needs trimesh to "
+                "sample the GT mesh (pass gt_samples= explicitly instead)"
+            ) from exc
+        mesh = trimesh.load(mesh_url, force="mesh")
+        return np.asarray(mesh.sample(num_samples), np.float64)
+    raise ValueError(
+        "dataset exposes neither .world nor .scene_mesh_url; pass gt_samples="
+    )
+
+
 def eval_actions(
     dataset: SyntheticDataset,
     actions_path: str,
@@ -98,7 +121,7 @@ def eval_actions(
     over a ProcessPoolExecutor (reference: eval_actions.py:98)."""
     dataset.reset()
     if gt_samples is None:
-        gt_samples = dataset.world.sample_surface(num_gt_samples, seed=0)
+        gt_samples = sample_gt_surface(dataset, num_gt_samples)
     tree_gt = cKDTree(gt_samples)
 
     forward_steps = 0

@@ -224,7 +224,12 @@ class SplaTAMMapper:
         # Optimization phase: selection + iterations, one device program
         # (split into segments at prune-schedule fire points when pruning is
         # on; default schedule fires only at iteration 0, so the common case
-        # stays a single program).
+        # stays a single program). Documented deviation when mid-event fire
+        # points exist: each segment re-inits the Adam moments and re-draws
+        # its keyframe window, where the reference keeps survivors' moments
+        # across a prune (slam_external.py:143-164) — acceptable because the
+        # reference also re-inits Adam every mapping event (:440) and prune
+        # is off by default in both.
         if iter_per_frame > 0:
             t_iter = time.time()
             with stage("mapper/mapping_iters"):

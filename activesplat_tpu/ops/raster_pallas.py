@@ -53,9 +53,11 @@ def _blend_kernel(
     data_ref, u0_ref, v0_ref, accum_ref, logt_ref, entry_ref, n_channels: int
 ):
     """One tile: data_ref (1, K, N_ATTR); outputs accum (1, PX, 8),
-    logt (1, 1, PX), entry (1, n_seg, PX) — each segment's entry
-    log-transmittance, stashed so the backward kernel can skip its
-    forward-re-walk pass."""
+    logt (1, 1, PX) and — only when entry_ref is given (the AD forward) —
+    entry (1, n_seg, PX): each segment's entry log-transmittance, stashed so
+    the backward kernel can skip its forward-re-walk pass. Forward-only
+    consumers (map queries, panoramas, densification) omit the entry output
+    entirely, saving its VMEM->HBM write per tile."""
     k = data_ref.shape[1]
     n_seg = k // SEG
 
@@ -68,7 +70,8 @@ def _blend_kernel(
 
     def seg_body(s, carry):
         accum, logt = carry  # (PX, 8), (1, PX)
-        entry_ref[0, pl.ds(s, 1), :] = logt
+        if entry_ref is not None:
+            entry_ref[0, pl.ds(s, 1), :] = logt
 
         def compute(_):
             block = data_ref[0, pl.ds(s * SEG, SEG), :]  # (SEG, N_ATTR)
@@ -261,15 +264,15 @@ def _blend_bwd_pallas(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def blend_tiles(tile_data, tile_u0, tile_v0, n_channels=5, interpret=False):
     """Differentiable fused tile blend (Pallas fwd + analytic Pallas bwd)."""
-    accum, logt, _ = _blend_fwd_pallas(
-        tile_data, tile_u0, tile_v0, n_channels, interpret
+    accum, logt = _blend_fwd_pallas(
+        tile_data, tile_u0, tile_v0, n_channels, interpret, with_entry=False
     )
     return accum, logt
 
 
 def _blend_tiles_fwd(tile_data, tile_u0, tile_v0, n_channels, interpret):
     accum, logt, entry = _blend_fwd_pallas(
-        tile_data, tile_u0, tile_v0, n_channels, interpret
+        tile_data, tile_u0, tile_v0, n_channels, interpret, with_entry=True
     )
     return (accum, logt), (tile_data, tile_u0, tile_v0, entry)
 
@@ -287,23 +290,45 @@ def _blend_tiles_bwd(n_channels, interpret, residuals, cotangents):
 blend_tiles.defvjp(_blend_tiles_fwd, _blend_tiles_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("n_channels", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_channels", "interpret", "with_entry")
+)
 def _blend_fwd_pallas(
     tile_data: jnp.ndarray,  # (T, K, N_ATTR) f32 gathered per-tile attributes
     tile_u0: jnp.ndarray,  # (T,) int32 tile origin x
     tile_v0: jnp.ndarray,  # (T,) int32
     n_channels: int = 5,
     interpret: bool = False,
+    with_entry: bool = False,
 ):
-    """Returns (accum (T, PX, n_channels), log_transmittance (T, PX),
-    entry (T, n_seg, PX) per-segment entry log-transmittances — the
-    backward's residual)."""
+    """Returns (accum (T, PX, n_channels), log_transmittance (T, PX)[,
+    entry (T, n_seg, PX)]). The entry output — each segment's entry
+    log-transmittance, the backward's residual — is only emitted for the AD
+    forward; pallas_call outputs cannot be dead-code-eliminated, so
+    forward-only renders use the two-output variant."""
     t, k, n_attr = tile_data.shape
     assert n_attr == N_ATTR and k % SEG == 0, (k, n_attr)
     n_seg = k // SEG
 
-    kernel = functools.partial(_blend_kernel, n_channels=n_channels)
-    accum, logt, entry = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, PX, 8), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, PX), lambda i: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, PX, 8), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1, PX), jnp.float32),
+    ]
+    if with_entry:
+        kernel = functools.partial(_blend_kernel, n_channels=n_channels)
+        out_specs.append(pl.BlockSpec((1, n_seg, PX), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((t, n_seg, PX), jnp.float32))
+    else:
+        def kernel(data_ref, u0_ref, v0_ref, accum_ref, logt_ref):
+            _blend_kernel(
+                data_ref, u0_ref, v0_ref, accum_ref, logt_ref, None,
+                n_channels=n_channels,
+            )
+    out = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=[
@@ -311,24 +336,19 @@ def _blend_fwd_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, PX, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, PX), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n_seg, PX), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, PX, 8), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, PX), jnp.float32),
-            jax.ShapeDtypeStruct((t, n_seg, PX), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(tile_data, tile_u0, tile_v0)
-    return accum[:, :, :n_channels], logt[:, 0, :], entry
+    if with_entry:
+        accum, logt, entry = out
+        return accum[:, :, :n_channels], logt[:, 0, :], entry
+    accum, logt = out
+    return accum[:, :, :n_channels], logt[:, 0, :]
 
 
 def blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels=5, interpret=False):
     """Forward-only fused tile blend: (accum, log_transmittance)."""
-    accum, logt, _ = _blend_fwd_pallas(
-        tile_data, tile_u0, tile_v0, n_channels, interpret
+    return _blend_fwd_pallas(
+        tile_data, tile_u0, tile_v0, n_channels, interpret, with_entry=False
     )
-    return accum, logt

@@ -256,6 +256,17 @@ class HabitatDataset:
                 config.habitat.simulator.type, config=config.habitat.simulator
             )
         self._sim.seed(0)
+        # Dataset configs ship bbox=null (the reference hand-fills per-scene
+        # bounds in user configs); derive the scene bbox from the navmesh
+        # when absent so the topdown grid can always be constructed.
+        if not np.isfinite(self.scene_bbox).all():
+            pathfinder = getattr(self._sim, "pathfinder", None)
+            if pathfinder is not None and hasattr(pathfinder, "get_bounds"):
+                lo, hi = pathfinder.get_bounds()
+                self.scene_bbox = np.stack(
+                    [np.asarray(lo, np.float64), np.asarray(hi, np.float64)],
+                    axis=1,
+                )  # (3, 2)
         self.reset()
         return self.dataset_config(self.results_dir or "")
 

@@ -179,3 +179,21 @@ def test_coverage_monotone(tmp_path):
         num_gt_samples=10000, frame_stride=2,
     )
     assert r2.completeness_ratio > r1.completeness_ratio
+
+
+def test_ms_ssim_borderline_sizes_finite():
+    """Truncating 2x downsampling shrinks borderline sizes below the 11-px
+    VALID window (42 -> 20 -> 10); level selection must account for it and
+    frame_report must stay finite at any size (regression: NaN ms_ssim)."""
+    from activesplat_tpu.eval.metrics import frame_report, ms_ssim_levels
+
+    assert ms_ssim_levels(42, 42) == 2  # naive 10*2^(L-1) bound says 3
+    assert ms_ssim_levels(256, 256) == 5
+    assert ms_ssim_levels(8, 8) == 1
+    rng = np.random.default_rng(0)
+    for side in (10, 21, 42, 84):
+        a = rng.uniform(0, 1, (side, side, 3))
+        b = np.clip(a + 0.05, 0, 1)
+        d = rng.uniform(1, 3, (side, side))
+        rep = frame_report(a, b, d, d)
+        assert np.isfinite(rep["ms_ssim"]), (side, rep)

@@ -37,11 +37,16 @@ class FakeSim:
     """Minimal habitat-sim stand-in: y-up world, yaw about +y, blocked beyond
     x > 1.0 (no sliding)."""
 
+    class _Pathfinder:
+        def get_bounds(self):
+            return (np.array([-1.0, 0.0, -2.0]), np.array([9.0, 3.0, 6.0]))
+
     def __init__(self, spec):
         self.spec = spec
         self.actions = []
         self.closed = False
         self._seed = None
+        self.pathfinder = self._Pathfinder()
         self.reset()
 
     def seed(self, value):
@@ -250,3 +255,13 @@ def test_habitat_batch_specs():
 
     with pytest.raises(RuntimeError, match="dataset_factory"):
         run_batch("mp3d_small", "/tmp/nowhere")
+
+
+def test_bbox_derived_from_navmesh(dataset):
+    """Configs ship bbox=null; setup() fills the scene bbox from the
+    simulator's navmesh bounds so the topdown grid is constructible."""
+    assert np.isfinite(dataset.scene_bbox).all()
+    np.testing.assert_allclose(dataset.scene_bbox[:, 0], [-1.0, 0.0, -2.0])
+    np.testing.assert_allclose(dataset.scene_bbox[:, 1], [9.0, 3.0, 6.0])
+    cfg = dataset.dataset_config("/tmp/x")
+    assert np.isfinite(np.asarray(cfg["scene_bbox"], np.float64)).all()
