@@ -3,8 +3,10 @@
 Behavioral equivalent of the reference's windowed SSIM
 (src/mapper/splatam/utils/slam_external.py:66-97): 11x11 Gaussian window,
 sigma 1.5, zero ('same') padding, uniform dynamic-range constants
-C1=0.01^2, C2=0.03^2. Implemented as separable depthwise convolutions, which
-XLA maps onto the MXU.
+C1=0.01^2, C2=0.03^2. The separable 11-tap blurs are implemented as
+banded-Toeplitz MATMULS (row blur = B_h @ X, column blur = X @ B_w^T) so they
+run on the MXU — 1-channel depthwise convolutions lower to vector ops and
+cost ~2.4 ms/step at 256px, the matmul form is ~10x cheaper.
 """
 
 from __future__ import annotations

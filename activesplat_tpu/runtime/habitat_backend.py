@@ -6,6 +6,14 @@ the habitat wheels happens inside ``setup()`` (or through an injected
 ``sim_factory``), so the class is constructible and fully unit-testable with
 a mock simulator even where the wheels are absent (this image).
 
+CAVEAT — UNTESTED AGAINST THE REAL HABITAT API: no habitat-sim wheels exist
+in this environment, so the adapter has only ever stepped mock simulators
+(tests/test_habitat_backend.py FakeSim + the geometric BoxWorld-backed mock
+episode). The historically error-prone seams — habitat's RGBA sensor
+formats, np.quaternion conventions, `sensor_states` frames, hfov units —
+are asserted against the same assumptions this adapter encodes. First run
+against real wheels should verify get_frame()'s c2w against a known scene.
+
 Behavioral contract mirrored from the reference:
 
   * env-yaml sensor parsing with the rgb/depth consistency asserts
