@@ -97,6 +97,15 @@ class MapperConfig:
     # the tile-binned production rasterizer (ops/raster_tiled.py)
     chunk: int = 256
     k_per_tile: int = 256
+    # k_per_tile overflow policy: the CUDA reference has no per-tile cap
+    # (dynamic lists), so a tile denser than k silently truncates its
+    # farthest splats. When a training render drops more than
+    # k_overflow_tolerance memberships for k_overflow_patience consecutive
+    # mapping events, the mapper doubles k_per_tile (one bounded recompile
+    # per bucket) up to k_per_tile_max; past the max it warns loudly.
+    k_per_tile_max: int = 1024
+    k_overflow_tolerance: int = 0
+    k_overflow_patience: int = 3
     # adam
     adam_b1: float = 0.9
     adam_b2: float = 0.999

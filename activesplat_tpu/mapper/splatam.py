@@ -85,6 +85,8 @@ class SplaTAMMapper:
         self.keyframe_time_indices: List[int] = []
         self._first_pose_gl: Optional[np.ndarray] = None
 
+        self._overflow_streak = 0
+        self._overflow_warned_frame = -(10**9)
         self.mapping_iter_time_sum = 0.0
         self.mapping_iter_time_count = 0
         self.mapping_frame_time_sum = 0.0
@@ -121,6 +123,40 @@ class SplaTAMMapper:
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _check_tile_overflow(self, dropped: int, frame_id: int) -> None:
+        """k_per_tile overflow escalation: the tiled rasterizer keeps only
+        the k nearest splats per 16x16 tile (ops/raster_tiled.py:190-191).
+        Sustained drops during *training* corrupt the silhouette channel that
+        gates densification (step.py non_presence mask), so k is doubled —
+        one bounded recompile per bucket, like buffer capacity growth — and
+        a loud warning fires once the config ceiling is hit."""
+        import dataclasses
+
+        if dropped <= self.cfg.k_overflow_tolerance:
+            self._overflow_streak = 0
+            return
+        self._overflow_streak += 1
+        if self._overflow_streak < self.cfg.k_overflow_patience:
+            return
+        self._overflow_streak = 0
+        if self.cfg.k_per_tile >= self.cfg.k_per_tile_max:
+            if frame_id - self._overflow_warned_frame >= 50:
+                self._overflow_warned_frame = frame_id
+                print(
+                    f"WARNING: tile lists overflowing ({dropped} memberships "
+                    f"dropped) with k_per_tile already at the ceiling "
+                    f"{self.cfg.k_per_tile_max}; dense tiles are truncating "
+                    "far splats — raise MapperConfig.k_per_tile_max"
+                )
+            return
+        new_k = min(self.cfg.k_per_tile * 2, self.cfg.k_per_tile_max)
+        print(
+            f"k_per_tile overflow: {dropped} tile memberships dropped for "
+            f"{self.cfg.k_overflow_patience} consecutive mapping events — "
+            f"escalating k_per_tile {self.cfg.k_per_tile} -> {new_k}"
+        )
+        self.cfg = dataclasses.replace(self.cfg, k_per_tile=new_k)
 
     def _grow_if_needed(self, dropped: int, headroom: int) -> bool:
         if dropped <= 0:
@@ -270,7 +306,9 @@ class SplaTAMMapper:
                 "loss": float(np.asarray(metrics["loss"])[-1]),
                 "psnr": float(np.asarray(metrics["psnr"])[-1]),
                 "depth_l1": float(np.asarray(metrics["depth_l1"])[-1]),
+                "dropped": int(np.max(np.asarray(metrics["dropped"]))),
             }
+            self._check_tile_overflow(self.last_metrics["dropped"], frame_id)
             # online progress record (role of report_progress + the
             # online_psnr.txt summaries, eval_helpers.py:153-277, 370-402)
             self.online_metrics.append({"frame": frame_id, **self.last_metrics})

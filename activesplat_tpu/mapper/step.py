@@ -37,6 +37,7 @@ class LossAux(NamedTuple):
     ssim: jnp.ndarray
     radii: jnp.ndarray
     psnr: jnp.ndarray
+    dropped: jnp.ndarray  # tile memberships cut by the k_per_tile cap
 
 
 def mapping_loss(
@@ -86,6 +87,7 @@ def mapping_loss(
         ssim=ssim_val,
         radii=out.radii,
         psnr=psnr(out.rgb, im_gt),
+        dropped=out.dropped,
     )
     return loss, aux
 
@@ -131,7 +133,9 @@ def mapping_loss_with_tap(
     loss = cfg.loss_w_im * (0.8 * rgb_l1 + 0.2 * (1.0 - ssim_val)) + (
         cfg.loss_w_depth * depth_l1
     )
-    aux = LossAux(rgb_l1, depth_l1, ssim_val, out.radii, psnr(out.rgb, im_gt))
+    aux = LossAux(
+        rgb_l1, depth_l1, ssim_val, out.radii, psnr(out.rgb, im_gt), out.dropped
+    )
     return loss, aux
 
 
@@ -277,14 +281,17 @@ def mapping_phase(
                 + jnp.where(seen, jnp.linalg.norm(g_tap, axis=-1), 0.0),
                 denom=buf_n.denom + seen.astype(jnp.float32),
             )
-        return (buf_n, opt_n), (loss, aux.psnr, aux.depth_l1)
+        return (buf_n, opt_n), (loss, aux.psnr, aux.depth_l1, aux.dropped)
 
     keys = jax.random.split(key_iters, num_iters)
-    (buf, _), (losses, psnrs, depth_l1s) = jax.lax.scan(body, (buf, opt_state), keys)
+    (buf, _), (losses, psnrs, depth_l1s, droppeds) = jax.lax.scan(
+        body, (buf, opt_state), keys
+    )
     metrics = {
         "loss": losses,
         "psnr": psnrs,
         "depth_l1": depth_l1s,
+        "dropped": droppeds,
         "num_window": n_valid,
     }
     return buf, store, metrics
@@ -314,7 +321,12 @@ def mapping_iteration(
             seen, jnp.maximum(buf.max_radius, aux.radii), buf.max_radius
         ),
     )
-    return buf, opt_state, {"loss": loss, "psnr": aux.psnr, "depth_l1": aux.depth_l1}
+    return buf, opt_state, {
+        "loss": loss,
+        "psnr": aux.psnr,
+        "depth_l1": aux.depth_l1,
+        "dropped": aux.dropped,
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -33,6 +33,10 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray  # (C,) in input (unsorted) order
     mean2d: jnp.ndarray  # (C, 2) in input order — the densification grad tap
     valid: jnp.ndarray  # (C,) bool in input order
+    dropped: jnp.ndarray  # () int32 — tile memberships cut by the k_per_tile
+    # cap (0 on the dense path). The CUDA reference has no such cap (dynamic
+    # lists); sustained nonzero means k_per_tile must rise (the mapper
+    # auto-escalates, mapper/splatam.py).
 
 
 def forward_backend() -> str:
@@ -71,7 +75,7 @@ def render_projected(
     if k_per_tile > 0:
         from activesplat_tpu.ops.raster_tiled import rasterize_tiled
 
-        accum, log_t, _ = rasterize_tiled(
+        accum, log_t, dropped = rasterize_tiled(
             proj.mean2d,
             proj.conic,
             opacities,
@@ -98,6 +102,7 @@ def render_projected(
             height=cam.height,
             chunk=chunk,
         )
+        dropped = jnp.int32(0)  # dense path composites every Gaussian
     transmittance = jnp.exp(log_t)  # (P,)
     out_rgb = accum[:, :3] + transmittance[:, None] * bg[None, :]
     out_depth = accum[:, 3]
@@ -113,6 +118,7 @@ def render_projected(
         radii=proj.radius,
         mean2d=proj.mean2d,
         valid=proj.valid,
+        dropped=dropped,
     )
 
 

@@ -1,0 +1,142 @@
+"""k_per_tile overflow: detection, mapper auto-escalation, and image
+recovery (the CUDA reference's dynamic per-tile lists have no cap, so the
+fixed-capacity TPU lists must escalate rather than silently truncate)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.mapper.splatam import SplaTAMMapper
+from activesplat_tpu.models.gaussians import GaussianBuffer, GaussianParams, make_camera
+from activesplat_tpu.ops.render import render
+from activesplat_tpu.ops.ssim import psnr
+from activesplat_tpu.runtime.synthetic import BoxWorld
+
+W = H = 32
+
+
+def make_intrinsics():
+    fx = 0.5 * W / np.tan(np.deg2rad(45.0))
+    return np.array([[fx, 0, W / 2 - 1], [0, fx, H / 2 - 1], [0, 0, 1]])
+
+
+def dense_cluster_buffer(rng, n=600):
+    """n low-opacity Gaussians packed into a ~1 m patch 2 m in front of the
+    camera — hundreds overlap every central tile, so a small k cap truncates
+    splats that still carry visible weight (nothing saturates)."""
+    capacity = 1024
+    buf = GaussianBuffer.empty(capacity)
+    pts = np.column_stack(
+        [
+            rng.uniform(-0.5, 0.5, n),
+            rng.uniform(-0.5, 0.5, n),
+            rng.uniform(1.8, 2.6, n),
+        ]
+    ).astype(np.float32)
+    params = GaussianParams(
+        means3d=buf.params.means3d.at[:n].set(jnp.asarray(pts)),
+        rgb=buf.params.rgb.at[:n].set(
+            jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        ),
+        quats=buf.params.quats,
+        logit_opacities=buf.params.logit_opacities.at[:n].set(-3.0),
+        log_scales=buf.params.log_scales.at[:n].set(float(np.log(0.08))),
+    )
+    return buf.replace(params=params, active=buf.active.at[:n].set(True))
+
+
+def test_escalated_render_recovers_dense_image(rng):
+    """A dense tile truncated at k=16 visibly corrupts the image; the
+    escalated k recovers the uncapped (dense-path) reference."""
+    buf = dense_cluster_buffer(rng)
+    cam = make_camera(W, H, make_intrinsics(), np.eye(4))
+    reference = render(buf, cam, k_per_tile=0)  # dense path: every Gaussian
+    capped = render(buf, cam, k_per_tile=16)
+    escalated = render(buf, cam, k_per_tile=1024)
+    assert int(capped.dropped) > 0
+    assert int(escalated.dropped) == 0
+    psnr_capped = float(psnr(capped.rgb, reference.rgb))
+    psnr_escalated = float(psnr(escalated.rgb, reference.rgb))
+    assert psnr_escalated > 45.0, psnr_escalated
+    assert psnr_escalated > psnr_capped + 10.0, (psnr_capped, psnr_escalated)
+
+
+def run_frames(mapper, n_frames=3):
+    world = BoxWorld.single_room(seed=0)
+    intr = make_intrinsics()
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [3.0, 1.25, 3.0]
+    rgb, depth = world.render(c2w, intr, W, H)
+    for i in range(n_frames):
+        mapper.run({"frame_id": i, "rgb": rgb, "depth": depth, "c2w": c2w})
+
+
+def test_mapper_escalates_k_per_tile(capsys):
+    """First-frame init creates one Gaussian per pixel (256+ per 16x16 tile),
+    so k_per_tile=16 overflows during training; the mapper must surface the
+    counter and double k after the configured patience."""
+    cfg = MapperConfig(
+        initial_capacity=1 << 11,
+        max_capacity=1 << 12,
+        keyframe_capacity=8,
+        map_every=1,
+        kf_every=1,
+        mapping_iters=1,
+        mapping_window_size=4,
+        chunk=64,
+        kf_select_pixels=64,
+        k_per_tile=16,
+        k_per_tile_max=64,
+        k_overflow_patience=2,
+    )
+    mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
+    run_frames(mapper, n_frames=2)
+    assert mapper.last_metrics["dropped"] > 0
+    assert mapper.cfg.k_per_tile == 32  # doubled after 2 overflowing events
+    out = capsys.readouterr().out
+    assert "escalating k_per_tile 16 -> 32" in out
+
+
+def test_mapper_warns_at_ceiling(capsys):
+    cfg = MapperConfig(
+        initial_capacity=1 << 11,
+        max_capacity=1 << 12,
+        keyframe_capacity=8,
+        map_every=1,
+        kf_every=1,
+        mapping_iters=1,
+        mapping_window_size=4,
+        chunk=64,
+        kf_select_pixels=64,
+        k_per_tile=16,
+        k_per_tile_max=16,  # already at the ceiling: cannot escalate
+        k_overflow_patience=1,
+    )
+    mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
+    run_frames(mapper, n_frames=1)
+    assert mapper.cfg.k_per_tile == 16
+    assert "WARNING: tile lists overflowing" in capsys.readouterr().out
+
+
+def test_no_escalation_without_overflow():
+    cfg = MapperConfig(
+        initial_capacity=1 << 11,
+        max_capacity=1 << 12,
+        keyframe_capacity=8,
+        map_every=1,
+        kf_every=1,
+        mapping_iters=1,
+        mapping_window_size=4,
+        chunk=64,
+        kf_select_pixels=64,
+        k_per_tile=1024,
+        k_overflow_patience=1,
+    )
+    mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
+    run_frames(mapper, n_frames=1)
+    assert mapper.last_metrics["dropped"] == 0
+    assert mapper.cfg.k_per_tile == 1024
