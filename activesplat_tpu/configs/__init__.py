@@ -57,6 +57,7 @@ def mapper_config_from_scene(cfg: dict, **overrides) -> MapperConfig:
         mapping_window_size=mapper.get("mapping_window_size", 12),
         mapping_iters=mapper.get("mapping_iters", 2),
         densify_downscale_factor=mapper.get("densify_downscale_factor", 1),
+        use_mesh=bool(mapper.get("use_mesh", False)),
         sil_thres=splatam.get("sil_thres", 0.98),
         loss_w_im=splatam.get("loss_weights", {}).get("im", 0.5),
         loss_w_depth=splatam.get("loss_weights", {}).get("depth", 1.0),

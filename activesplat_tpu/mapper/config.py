@@ -106,6 +106,11 @@ class MapperConfig:
     k_per_tile_max: int = 1024
     k_overflow_tolerance: int = 0
     k_overflow_patience: int = 3
+    # multi-chip: shard training renders over whole tile rows of a 1D device
+    # mesh when >1 device is visible (parallel/sharded.py; the mapper builds
+    # the largest mesh dividing the image height). Off by default: the bench
+    # target is one v5e chip, and unit tests run a virtual 8-CPU mesh.
+    use_mesh: bool = False
     # adam
     adam_b1: float = 0.9
     adam_b2: float = 0.999

@@ -53,10 +53,31 @@ class SplaTAMMapper:
         save_checkpoints: bool = False,
         checkpoint_interval: int = 5,
         pano_scale: float = 1.0,
+        mesh=None,
     ):
         self.pano_scale = pano_scale
         self.cfg = cfg
         self.width, self.height = int(width), int(height)
+        # Production multi-chip mapping (SURVEY.md section 2.3): shard every
+        # training render's blend over whole tile rows of the mesh. Built
+        # here when cfg.use_mesh and >1 device is visible; an explicit
+        # `mesh` argument wins.
+        if mesh is None and cfg.use_mesh:
+            from activesplat_tpu.parallel.sharded import mesh_for_height
+
+            mesh = mesh_for_height(self.height)
+        if mesh is not None and cfg.use_gs_densification:
+            print(
+                "mapper: use_gs_densification needs the single-device mean2d "
+                "gradient tap — disabling the mesh"
+            )
+            mesh = None
+        self.mesh = mesh
+        if mesh is not None:
+            print(
+                f"mapper: sharding renders over {mesh.shape['px']} devices "
+                f"({self.height // mesh.shape['px']} rows each)"
+            )
         self.intrinsics = np.asarray(intrinsics, np.float64)
         self.step_num = int(step_num)
         self.results_dir = results_dir
@@ -285,6 +306,8 @@ class SplaTAMMapper:
                         (j for j in range(i + 1, iter_per_frame) if fires(j)),
                         iter_per_frame,
                     )
+                    from activesplat_tpu.ops.render import forward_backend
+
                     self.buf, self.store, metrics = mapping_phase(
                         self.buf,
                         self.store,
@@ -296,6 +319,10 @@ class SplaTAMMapper:
                         self._next_key(),
                         self.cfg,
                         nxt - i,
+                        mesh=self.mesh,
+                        backend=(
+                            forward_backend() if self.cfg.k_per_tile else "xla"
+                        ),
                     )
                     i = nxt
                 jax.block_until_ready(self.buf.params.means3d)

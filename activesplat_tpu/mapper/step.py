@@ -209,7 +209,9 @@ def _build_window(
     return window[order], jnp.sum(wvalid.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_iters", "mesh", "backend")
+)
 def mapping_phase(
     buf: GaussianBuffer,
     store: KeyframeStore,
@@ -221,9 +223,21 @@ def mapping_phase(
     key: jax.Array,
     cfg: MapperConfig,
     num_iters: int,
+    mesh=None,
+    backend: str = "xla",
 ):
     """One full per-frame mapping event. Returns
-    (buf, store_with_scratch, metrics dict)."""
+    (buf, store_with_scratch, metrics dict).
+
+    `mesh` (a 1D jax.sharding.Mesh over axis 'px') runs the PRODUCTION
+    multi-chip path: the same scan — keyframe selection, per-iteration
+    on-device keyframe gathers, fresh Adam — with every render's per-pixel
+    blend sharded over whole tile rows on the mesh
+    (parallel/sharded.py render_sharded_tiled; SURVEY.md section 2.3's one
+    real parallelism axis). Parameters and the keyframe store stay
+    replicated; parameter grads combine via the all_gather transpose
+    (reduce-scatter + replicate) XLA inserts. `backend` selects the blend
+    kernel under shard_map (pallas on TPU)."""
     from activesplat_tpu.mapper.keyframes import select_keyframes_overlap
 
     store = store.with_scratch(cur_rgb, cur_depth, cur_w2c, cur_frame_id)
@@ -248,7 +262,27 @@ def mapping_phase(
     opt_state = AdamState.init(buf.params)
     lrs = lr_pytree(cfg)
 
-    grad_fn = jax.value_and_grad(mapping_loss, has_aux=True)
+    if mesh is not None:
+        assert not cfg.use_gs_densification, (
+            "gradient-densification tap is single-device only; disable "
+            "use_gs_densification (reference default) to map on a mesh"
+        )
+        from activesplat_tpu.parallel.sharded import sharded_mapping_loss
+
+        def sharded_loss(params, buf_c, cam_i, im, dep, cfg):
+            loss, (radii, psnr_v, depth_l1, dropped) = sharded_mapping_loss(
+                params, buf_c, cam_i, im, dep, cfg, mesh, backend
+            )
+            aux = LossAux(
+                rgb_l1=jnp.float32(0.0), depth_l1=depth_l1,
+                ssim=jnp.float32(0.0), radii=radii, psnr=psnr_v,
+                dropped=dropped,
+            )
+            return loss, aux
+
+        grad_fn = jax.value_and_grad(sharded_loss, has_aux=True)
+    else:
+        grad_fn = jax.value_and_grad(mapping_loss, has_aux=True)
     grad_fn_tap = jax.value_and_grad(mapping_loss_with_tap, argnums=(0, 1), has_aux=True)
 
     def body(carry, it_key):

@@ -42,7 +42,7 @@ TILE = 16
 class TileLists(NamedTuple):
     indices: jnp.ndarray  # (T, K) int32 — Gaussian ids, depth-ascending; N = invalid
     count: jnp.ndarray  # (T,) int32 — number of valid entries per tile
-    dropped: jnp.ndarray  # () int32 — total tile-memberships dropped by the K cap
+    overflow: jnp.ndarray  # (T,) int32 — per-tile memberships dropped by the K cap
 
 
 def bin_gaussians(
@@ -58,6 +58,18 @@ def bin_gaussians(
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
     t = tiles_x * tiles_y
+
+    # A Gaussian whose AABB misses the tile grid entirely must not clamp
+    # into a border tile as a phantom member: it would waste a k slot and
+    # inflate the dropped counter. Matters doubly under shard_map, where
+    # each device sees the whole Gaussian set but only its own row block.
+    inside = (
+        (mean2d[:, 0] + radius >= 0.0)
+        & (mean2d[:, 0] - radius < tiles_x * TILE)
+        & (mean2d[:, 1] + radius >= 0.0)
+        & (mean2d[:, 1] - radius < tiles_y * TILE)
+    )
+    valid = valid & inside
 
     tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / TILE), 0, tiles_x - 1)
     tx1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / TILE), 0, tiles_x - 1)
@@ -188,8 +200,8 @@ def bin_gaussians(
         jnp.int32
     )
     count = jnp.minimum(count_full, k_per_tile)
-    dropped = jnp.sum(jnp.maximum(count_full - k_per_tile, 0))
-    return TileLists(indices=indices, count=count, dropped=dropped)
+    overflow = jnp.maximum(count_full - k_per_tile, 0)
+    return TileLists(indices=indices, count=count, overflow=overflow)
 
 
 def _blend_tile(
@@ -273,6 +285,13 @@ def rasterize_tiled(
     "xla" is the pure-XLA blend used off-TPU and as the parity oracle.
 
     Returns (accum (H*W, C), log_transmittance (H*W,), dropped ()).
+    `dropped` counts HARMFUL truncations: memberships cut by the k cap in
+    tiles that did not saturate (some pixel's end-of-list transmittance
+    > 2%). Drops behind a fully opaque tile change nothing — neither the
+    image, the gradients (zero blend weight), nor the silhouette channel
+    that gates densification — and a converged dense map overflows
+    saturated tiles everywhere, so counting them would drive the mapper's
+    k escalation (mapper/splatam.py) to the ceiling for no benefit.
     """
     n = mean2d.shape[0]
     key = jnp.where(valid, depth, jnp.inf)
@@ -454,8 +473,12 @@ def _rasterize_tiled_prefix(
         .transpose(0, 2, 1, 3)
         .reshape(tiles_y * TILE, tiles_x * TILE)[:height, :width]
     )
+    # harmful-drop counter: overflow only matters in unsaturated tiles (see
+    # rasterize_tiled docstring). logt is end-of-list log-transmittance.
+    unsaturated = jnp.max(logt_t, axis=1) > jnp.log(0.02)
+    dropped = jnp.sum(jnp.where(unsaturated, lists.overflow, 0))
     return (
         accum_img.reshape(height * width, c_dim),
         logt_img.reshape(height * width),
-        lists.dropped,
+        jax.lax.stop_gradient(dropped),
     )

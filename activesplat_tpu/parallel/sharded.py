@@ -40,6 +40,22 @@ def make_render_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("px",))
 
 
+def mesh_for_height(height: int, devices=None):
+    """Largest usable render mesh for an image height: the production path
+    shards whole 16px tile rows, so use the biggest device count d with
+    height % (d * TILE) == 0. Returns None when even 2 devices don't fit
+    (callers fall back to single-device)."""
+    from activesplat_tpu.ops.raster_tiled import TILE
+
+    devices = devices if devices is not None else jax.devices()
+    d = len(devices)
+    while d > 1 and height % (d * TILE) != 0:
+        d -= 1
+    if d < 2:
+        return None
+    return make_render_mesh(devices[:d])
+
+
 def render_sharded(
     buf: GaussianBuffer,
     cam: Camera,
@@ -48,7 +64,7 @@ def render_sharded(
     chunk: int = 128,
 ):
     """Full-frame render with image rows sharded over mesh axis 'px';
-    returns replicated (rgb, depth, alpha, radii). Differentiable.
+    returns replicated (rgb, depth, alpha, radii, dropped=0). Differentiable.
 
     Projection + depth sort run replicated (O(N), cheap); only the per-pixel
     compositing — the dominant cost — is sharded, so results are bitwise
@@ -120,7 +136,7 @@ def render_sharded(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(s_mean2d, s_conic, s_opac, s_channels, s_valid, bg)
-    return rgb, depth, alpha, proj.radius
+    return rgb, depth, alpha, proj.radius, jnp.int32(0)
 
 
 def render_sharded_tiled(
@@ -133,7 +149,9 @@ def render_sharded_tiled(
 ):
     """Tile-sharded production render: projection/sort replicated (O(N)),
     each device bins + blends its block of tile rows with the tiled
-    rasterizer, outputs all_gathered. Differentiable (grads of replicated
+    rasterizer, outputs all_gathered; the k_per_tile overflow counters are
+    psum'd so training sees the whole-frame drop count. Returns
+    (rgb, depth, alpha, radii, dropped). Differentiable (grads of replicated
     params combine via the all_gather transpose).
 
     backend="pallas" runs the fused Pallas blend (with its analytic VJP)
@@ -167,7 +185,7 @@ def render_sharded_tiled(
         local_mean = mean2d - jnp.stack(
             [jnp.zeros_like(row0), row0]
         )  # shift rows into this shard's frame
-        accum, log_t, _ = rasterize_tiled(
+        accum, log_t, dropped = rasterize_tiled(
             local_mean,
             conic,
             opacity,
@@ -189,16 +207,17 @@ def render_sharded_tiled(
         rgb = jax.lax.all_gather(rgb, "px", tiled=True)
         dep = jax.lax.all_gather(dep, "px", tiled=True)
         alpha = jax.lax.all_gather(alpha, "px", tiled=True)
-        return rgb, dep, alpha
+        dropped = jax.lax.psum(dropped, "px")
+        return rgb, dep, alpha, dropped
 
-    rgb, depth, alpha = jax.shard_map(
+    rgb, depth, alpha, dropped = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(),) * 8,
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )(proj.mean2d, proj.conic, opac, channels, proj.valid, proj.radius, proj.depth, bg)
-    return rgb, depth, alpha, proj.radius
+    return rgb, depth, alpha, proj.radius, dropped
 
 
 def sharded_mapping_loss(
@@ -218,15 +237,21 @@ def sharded_mapping_loss(
 
     rows = cam.height // mesh.shape["px"]
     if cfg.k_per_tile > 0 and rows % TILE == 0:
-        rgb, depth, alpha, radii = render_sharded_tiled(
+        rgb, depth, alpha, radii, dropped = render_sharded_tiled(
             buf.replace(params=params), cam, mesh,
             k_per_tile=cfg.k_per_tile, backend=backend,
         )
     else:
-        rgb, depth, alpha, radii = render_sharded(
+        rgb, depth, alpha, radii, dropped = render_sharded(
             buf.replace(params=params), cam, mesh, chunk=cfg.chunk
         )
-    mask = jax.lax.stop_gradient(depth_gt > 0)
+    mask = depth_gt > 0
+    if cfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(depth_gt - depth) * mask
+        mask = mask & (depth_error < 10.0 * jnp.median(depth_error))
+    if cfg.use_sil_for_loss:
+        mask = mask & (alpha > cfg.sil_thres)
+    mask = jax.lax.stop_gradient(mask)
     depth_l1 = jnp.sum(jnp.abs(depth_gt - depth) * mask) / jnp.maximum(
         jnp.sum(mask), 1.0
     )
@@ -235,7 +260,7 @@ def sharded_mapping_loss(
     loss = cfg.loss_w_im * (0.8 * rgb_l1 + 0.2 * (1.0 - ssim_val)) + (
         cfg.loss_w_depth * depth_l1
     )
-    return loss, (radii, psnr(rgb, im_gt), depth_l1)
+    return loss, (radii, psnr(rgb, im_gt), depth_l1, dropped)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "backend"))
@@ -252,7 +277,7 @@ def sharded_mapping_step(
     """One full multi-chip training step: sharded render, loss, backward
     (reduce-scatter + replicate of parameter grads), per-group Adam update."""
     grad_fn = jax.value_and_grad(sharded_mapping_loss, has_aux=True)
-    (loss, (radii, psnr_val, depth_l1)), grads = grad_fn(
+    (loss, (radii, psnr_val, depth_l1, dropped)), grads = grad_fn(
         buf.params, buf, cam, im_gt, depth_gt, cfg, mesh, backend
     )
     new_params, opt_state = adam_update(
@@ -263,4 +288,6 @@ def sharded_mapping_step(
         params=new_params,
         max_radius=jnp.where(seen, jnp.maximum(buf.max_radius, radii), buf.max_radius),
     )
-    return buf, opt_state, {"loss": loss, "psnr": psnr_val, "depth_l1": depth_l1}
+    return buf, opt_state, {
+        "loss": loss, "psnr": psnr_val, "depth_l1": depth_l1, "dropped": dropped
+    }

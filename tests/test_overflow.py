@@ -64,7 +64,53 @@ def test_escalated_render_recovers_dense_image(rng):
     assert psnr_escalated > psnr_capped + 10.0, (psnr_capped, psnr_escalated)
 
 
-def run_frames(mapper, n_frames=3):
+def dim_map(mapper):
+    """Force the map translucent: harmful drops are counted only in tiles
+    whose kept k-list does NOT saturate (raster_tiled.py dropped docstring) —
+    the first-frame init's 0.5-opacity splats saturate a 16-deep list."""
+    p = mapper.buf.params
+    mapper.buf = mapper.buf.replace(
+        params=p.replace(
+            logit_opacities=jnp.full_like(p.logit_opacities, -4.0)
+        )
+    )
+
+
+def test_saturated_drops_are_harmless_and_uncounted(rng):
+    """Overflow behind an opaque kept-list must not count as dropped — the
+    truncated splats have zero blend weight, so the capped image already
+    matches the dense reference. Needs EVERY pixel of every overflowing tile
+    saturated: an opaque splat wall spanning the whole frustum."""
+    n = 900
+    capacity = 1024
+    buf = GaussianBuffer.empty(capacity)
+    # co-located giant opaque splats: screen sigma = 2.0/z*fx = 16px, so the
+    # 16 nearest (by depth) cover every pixel of every tile with alpha
+    # >= ~0.37 -> end-of-list transmittance < 2% frame-wide
+    pts = np.column_stack(
+        [np.zeros(n), np.zeros(n), np.linspace(1.9, 2.4, n)]
+    ).astype(np.float32)
+    p = buf.params
+    params = GaussianParams(
+        means3d=p.means3d.at[:n].set(jnp.asarray(pts)),
+        rgb=p.rgb.at[:n].set(jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)),
+        quats=p.quats,
+        logit_opacities=p.logit_opacities.at[:n].set(4.0),
+        log_scales=p.log_scales.at[:n].set(float(np.log(2.0))),
+    )
+    buf = buf.replace(params=params, active=buf.active.at[:n].set(True))
+    cam = make_camera(W, H, make_intrinsics(), np.eye(4))
+    reference = render(buf, cam, k_per_tile=0)
+    capped = render(buf, cam, k_per_tile=16)
+    # tiles genuinely overflow (hundreds of members vs k=16) ...
+    assert int(reference.valid.sum()) == n
+    # ... yet every kept list saturates, so no drop is counted as harmful
+    assert int(capped.dropped) == 0
+    psnr_capped = float(psnr(capped.rgb, reference.rgb))
+    assert psnr_capped > 45.0, psnr_capped
+
+
+def run_frames(mapper, n_frames=3, dim_after_first=True):
     world = BoxWorld.single_room(seed=0)
     intr = make_intrinsics()
     c2w = np.eye(4)
@@ -73,6 +119,8 @@ def run_frames(mapper, n_frames=3):
     rgb, depth = world.render(c2w, intr, W, H)
     for i in range(n_frames):
         mapper.run({"frame_id": i, "rgb": rgb, "depth": depth, "c2w": c2w})
+        if i == 0 and dim_after_first:
+            dim_map(mapper)
 
 
 def test_mapper_escalates_k_per_tile(capsys):
@@ -94,7 +142,8 @@ def test_mapper_escalates_k_per_tile(capsys):
         k_overflow_patience=2,
     )
     mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
-    run_frames(mapper, n_frames=2)
+    run_frames(mapper, n_frames=3)  # frame 0 saturates (no harmful drops);
+    # the dimmed map overflows harmfully on frames 1-2 -> patience met
     assert mapper.last_metrics["dropped"] > 0
     assert mapper.cfg.k_per_tile == 32  # doubled after 2 overflowing events
     out = capsys.readouterr().out
@@ -117,7 +166,7 @@ def test_mapper_warns_at_ceiling(capsys):
         k_overflow_patience=1,
     )
     mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
-    run_frames(mapper, n_frames=1)
+    run_frames(mapper, n_frames=2)
     assert mapper.cfg.k_per_tile == 16
     assert "WARNING: tile lists overflowing" in capsys.readouterr().out
 

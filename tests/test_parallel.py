@@ -28,9 +28,10 @@ def test_sharded_render_matches_single_device(rng):
     buf = buffer_from_scene(scene)
     cam = make_camera(W, H, K, np.eye(4))
     mesh = make_render_mesh()
-    rgb, depth, alpha, radii = jax.jit(
+    rgb, depth, alpha, radii, dropped = jax.jit(
         render_sharded, static_argnames=("mesh", "chunk")
     )(buf, cam, mesh)
+    assert int(dropped) == 0  # dense path: no k cap
     ref = render_jit(buf, cam)
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb), atol=1e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
@@ -58,6 +59,107 @@ def test_sharded_step_improves_loss(rng):
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
 
 
+def test_mapping_phase_on_mesh_matches_single_device(rng):
+    """THE production multi-chip path: the full per-frame mapping event
+    (keyframe selection, per-iteration gathers, Adam scan) with the render
+    sharded over the mesh must reproduce the single-device mapping_phase
+    bit-for-bit-close (same seed, same window draws)."""
+    from activesplat_tpu.mapper.keyframes import KeyframeStore
+    from activesplat_tpu.mapper.step import mapping_phase
+    from activesplat_tpu.runtime.synthetic import BoxWorld
+
+    w, h = 64, 128  # 8 x 16-row blocks
+    k = np.array([[40.0, 0, w / 2 - 1], [0, 40.0, h / 2 - 1], [0, 0, 1]])
+    scene = random_scene(rng, 200)
+    buf = buffer_from_scene(scene)
+    cam = make_camera(w, h, k, np.eye(4))
+    cfg = MapperConfig(
+        chunk=64, k_per_tile=128, mapping_window_size=4, kf_select_pixels=64
+    )
+
+    world = BoxWorld.single_room(seed=1)
+    store = KeyframeStore.empty(8, h, w)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [3.0, 1.25, 3.0]
+    for i in range(3):
+        c2w_i = c2w.copy()
+        c2w_i[0, 3] += 0.2 * i
+        rgb_i, depth_i = world.render(c2w_i, k, w, h)
+        store = store.committed(
+            jnp.asarray(rgb_i), jnp.asarray(depth_i),
+            jnp.asarray(np.linalg.inv(c2w_i), jnp.float32), jnp.int32(i),
+        )
+    rgb, depth = world.render(c2w, k, w, h)
+    args = (
+        buf, store, jnp.asarray(rgb), jnp.asarray(depth),
+        jnp.asarray(np.linalg.inv(c2w), jnp.float32), jnp.int32(3), cam,
+        jax.random.PRNGKey(7), cfg, 4,
+    )
+    buf_single, _, m_single = mapping_phase(*args)
+    buf_mesh, _, m_mesh = mapping_phase(*args, mesh=make_render_mesh())
+    np.testing.assert_allclose(
+        np.asarray(m_mesh["loss"]), np.asarray(m_single["loss"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(buf_mesh.params.means3d),
+        np.asarray(buf_single.params.means3d),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(buf_mesh.params.logit_opacities),
+        np.asarray(buf_single.params.logit_opacities),
+        atol=1e-5,
+    )
+
+
+def test_mapper_on_mesh_full_frames(rng):
+    """SplaTAMMapper with use_mesh: several real frames (first-frame init,
+    densify, keyframe commits, mapping events) sharded over the virtual
+    8-CPU mesh match the single-device mapper with the same seed."""
+    from activesplat_tpu.mapper.splatam import SplaTAMMapper
+    from activesplat_tpu.runtime.synthetic import BoxWorld
+
+    w = h = 128  # 8 x 16-row blocks
+    fx = 0.5 * w / np.tan(np.deg2rad(45.0))
+    intr = np.array([[fx, 0, w / 2 - 1], [0, fx, h / 2 - 1], [0, 0, 1]])
+    world = BoxWorld.single_room(seed=2)
+
+    def run(use_mesh):
+        cfg = MapperConfig(
+            initial_capacity=1 << 12,
+            max_capacity=1 << 13,
+            keyframe_capacity=16,
+            map_every=2,
+            kf_every=2,
+            mapping_iters=4,
+            mapping_window_size=4,
+            chunk=128,
+            kf_select_pixels=128,
+            k_per_tile=128,
+            use_mesh=use_mesh,
+        )
+        mapper = SplaTAMMapper(cfg, w, h, intr, step_num=8)
+        for i in range(5):
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+            c2w[:3, 3] = [3.0 + 0.1 * i, 1.25, 3.0]
+            rgb, depth = world.render(c2w, intr, w, h)
+            mapper.run({"frame_id": i, "rgb": rgb, "depth": depth, "c2w": c2w})
+        return mapper
+
+    single = run(False)
+    meshed = run(True)
+    assert meshed.mesh is not None and meshed.mesh.shape["px"] == 8
+    assert meshed.num_gaussians() == single.num_gaussians()  # same densify
+    np.testing.assert_allclose(
+        np.asarray(meshed.buf.params.means3d),
+        np.asarray(single.buf.params.means3d),
+        atol=1e-4,
+    )
+    assert abs(meshed.last_metrics["psnr"] - single.last_metrics["psnr"]) < 0.1
+
+
 def test_sharded_tiled_matches_single_device(rng):
     from activesplat_tpu.parallel.sharded import render_sharded_tiled
 
@@ -67,10 +169,11 @@ def test_sharded_tiled_matches_single_device(rng):
     buf = buffer_from_scene(scene)
     cam = make_camera(w, h, k, np.eye(4))
     mesh = make_render_mesh()
-    rgb, depth, alpha, radii = jax.jit(
+    rgb, depth, alpha, radii, dropped = jax.jit(
         render_sharded_tiled, static_argnames=("mesh", "k_per_tile")
     )(buf, cam, mesh, k_per_tile=128)
     ref = render_jit(buf, cam, k_per_tile=128)
+    assert int(dropped) >= int(ref.dropped)  # psum of per-shard counters
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb), atol=1e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)

@@ -170,6 +170,9 @@ def test_bin_three_level_matches_oracle(rng):
 
     m = np.asarray(mean2d); r = np.asarray(radius); v = np.asarray(valid)
     tiles_x, tiles_y = 4, 3
+    # AABBs that miss the grid entirely are excluded (no phantom clamping)
+    v = v & (m[:, 0] + r >= 0) & (m[:, 0] - r < tiles_x * 16)
+    v = v & (m[:, 1] + r >= 0) & (m[:, 1] - r < tiles_y * 16)
     tx0 = np.clip(np.floor((m[:, 0] - r) / 16), 0, tiles_x - 1)
     tx1 = np.clip(np.floor((m[:, 0] + r) / 16), 0, tiles_x - 1)
     ty0 = np.clip(np.floor((m[:, 1] - r) / 16), 0, tiles_y - 1)
