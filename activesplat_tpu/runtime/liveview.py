@@ -28,10 +28,14 @@ img{image-rendering:pixelated;border:1px solid #444;margin:4px}
 pre{color:#8c8}</style></head><body>
 <h3>activesplat_tpu live view</h3>
 <div><img id=v src="/view.png" height=280>
-<img id=t src="/topdown.png" height=280></div>
+<img id=t src="/topdown.png" height=280>
+<img id=p src="/planner.png" height=280></div>
+<div><img id=s src="/subregions.png" height=200>
+<img id=o src="/panorama.png" height=200></div>
 <pre id=m></pre>
-<script>setInterval(()=>{document.getElementById('v').src='/view.png?'+Date.now();
-document.getElementById('t').src='/topdown.png?'+Date.now();
+<script>setInterval(()=>{for(const [i,u] of [['v','view'],['t','topdown'],
+['p','planner'],['s','subregions'],['o','panorama']])
+document.getElementById(i).src='/'+u+'.png?'+Date.now();
 fetch('/metrics.json').then(r=>r.json()).then(j=>{
 document.getElementById('m').textContent=JSON.stringify(j,null,1)})},1000)
 </script></body></html>"""
@@ -40,10 +44,11 @@ document.getElementById('m').textContent=JSON.stringify(j,null,1)})},1000)
 class LiveView:
     """Thread-safe latest-state store + HTTP server."""
 
+    IMAGES = ("view", "topdown", "planner", "subregions", "panorama")
+
     def __init__(self, port: int = 0):
         self._lock = threading.Lock()
-        self._view_png: Optional[bytes] = None
-        self._topdown_png: Optional[bytes] = None
+        self._images: Dict[str, bytes] = {}
         self._metrics: Dict = {}
         store = self
 
@@ -55,10 +60,8 @@ class LiveView:
                 path = self.path.split("?")[0]
                 if path == "/":
                     self._reply(200, "text/html", _PAGE)
-                elif path == "/view.png":
-                    self._img(store._get("view"))
-                elif path == "/topdown.png":
-                    self._img(store._get("topdown"))
+                elif path.endswith(".png") and path[1:-4] in LiveView.IMAGES:
+                    self._img(store._get(path[1:-4]))
                 elif path == "/metrics.json":
                     with store._lock:
                         body = json.dumps(store._metrics).encode()
@@ -86,10 +89,16 @@ class LiveView:
 
     def _get(self, which: str) -> Optional[bytes]:
         with self._lock:
-            return self._view_png if which == "view" else self._topdown_png
+            return self._images.get(which)
+
+    def _put(self, which: str, img_bgr: np.ndarray) -> None:
+        ok, png = cv2.imencode(".png", img_bgr)
+        if ok:
+            with self._lock:
+                self._images[which] = png.tobytes()
 
     # ------------------------------------------------------------------ #
-    # producer API (called from the mapper node)
+    # producer API (called from the mapper node / planner FSM)
 
     def update_view(self, rgb: np.ndarray, depth: Optional[np.ndarray] = None):
         """Latest rendered view; rgb float [0,1] or uint8 (H, W, 3)."""
@@ -101,10 +110,7 @@ class LiveView:
             top = d.max() if d.max() > 0 else 1.0
             d8 = np.clip(d / top * 255, 0, 255).astype(np.uint8)
             img = np.hstack([img, cv2.applyColorMap(d8, cv2.COLORMAP_JET)])
-        ok, png = cv2.imencode(".png", img)
-        if ok:
-            with self._lock:
-                self._view_png = png.tobytes()
+        self._put("view", img)
 
     def update_topdown(self, free_binary: np.ndarray, unobserved_binary: np.ndarray):
         """Latest planner maps: free (green) over unobserved (gray)."""
@@ -112,10 +118,25 @@ class LiveView:
         img = np.zeros((h, w, 3), np.uint8)
         img[unobserved_binary > 0] = (90, 90, 90)
         img[free_binary > 0] = (80, 200, 80)
-        ok, png = cv2.imencode(".png", img)
-        if ok:
-            with self._lock:
-                self._topdown_png = png.tobytes()
+        self._put("topdown", img)
+
+    def update_planner(self, img_bgr: np.ndarray):
+        """Voronoi graph + node scores + planned path + agent overlay,
+        pushed by the planner FSM per SELECT_TARGET tick (live counterpart
+        of the reference planner's CV2 windows, planner_node.py:1294-1495)."""
+        self._put("planner", img_bgr)
+
+    def update_subregions(self, img_bgr: np.ndarray):
+        self._put("subregions", img_bgr)
+
+    def update_panorama(self, invis: np.ndarray):
+        """Latest local-query invisibility panorama (float [0,1]-ish)."""
+        arr = np.asarray(invis, np.float64)
+        top = arr.max() if arr.max() > 0 else 1.0
+        img = cv2.applyColorMap(
+            np.clip(arr / top * 255, 0, 255).astype(np.uint8), cv2.COLORMAP_VIRIDIS
+        )
+        self._put("panorama", img)
 
     def update_metrics(self, metrics: Dict):
         with self._lock:

@@ -283,6 +283,8 @@ class MapperNode:
             }
         with stage("queries/panorama_local"):
             total, best_pose, invis = self.mapper.get_local_invisibility(view_c2w)
+        if self.live_view is not None:
+            self.live_view.update_panorama(invis)
         if self.recorder is not None:
             step, _ = self.dataset.get_step_info()
             self.recorder.save_panorama(step, "local", invis)

@@ -99,10 +99,12 @@ class PlannerFSM:
         seed: int = 1,
         save_runtime_data: bool = False,
         manual_target_provider=None,
+        live_view=None,
     ) -> None:
         self.bus = bus
         self.rng = np.random.default_rng(seed)
         self.save_runtime_data = save_runtime_data
+        self.live_view = live_view  # dashboard overlays (runtime/liveview.py)
 
         ds = bus.call("get_dataset_config")
         td = bus.call("get_topdown_config")
@@ -517,6 +519,7 @@ class PlannerFSM:
 
             _time.sleep(0.02)  # idle; movement comes from elsewhere
             return
+        was_select = self.state == PlannerState.SELECT_TARGET
         handler = {
             PlannerState.BOOTSTRAP: self._tick_bootstrap,
             PlannerState.SELECT_TARGET: self._tick_select_target,
@@ -525,6 +528,8 @@ class PlannerFSM:
             PlannerState.ESCAPE: self._tick_escape,
         }[self.state]
         handler()
+        if was_select:
+            self._push_live_overlay()
 
     def run(self, max_ticks: int = 100000, verbose: bool = False) -> None:
         import os as _os
@@ -968,6 +973,45 @@ class PlannerFSM:
         self.state = PlannerState.SELECT_TARGET
 
     # ------------------------------------------------------------------ #
+
+    def _push_live_overlay(self) -> None:
+        """Voronoi graph + scores + planned path + agent (+ subregion map)
+        onto the live-view dashboard after every SELECT_TARGET tick — the
+        live counterpart of the reference planner's CV2 windows
+        (planner_node.py:1294-1495); the same drawings previously existed
+        only as end-of-run PNGs (save_results)."""
+        if self.live_view is None or self.vg is None or self.free_map is None:
+            return
+        from activesplat_tpu.planner.viz import (
+            draw_subregions,
+            draw_voronoi_graph,
+            visualize_agent,
+        )
+
+        img = draw_voronoi_graph(
+            self.free_map,
+            self.vg.vertices,
+            self.vg.graph,
+            self.vg.nodes_index,
+            self.nodes_score,
+            self.vg.pruned_chains,
+        )
+        path = self.navigation_path
+        if path is not None and len(path):
+            pts = np.vstack([self.pose["px"], path]) if self.pose else path
+            cv2.polylines(img, [np.int32(pts)], False, (0, 215, 255), 1)
+        if self.pose:
+            img = visualize_agent(
+                img,
+                self.topdown_cfg.meter_per_pixel,
+                self.pose["px"],
+                self.pose["heading"],
+            )
+        self.live_view.update_planner(img)
+        if self.subregions:
+            self.live_view.update_subregions(
+                draw_subregions(self.free_map, self.vg.vertices, self.subregions)
+            )
 
     def save_results(self) -> None:
         """visited_map.png + topdown_free_map.png (planner_node.py:1652-1656)."""
