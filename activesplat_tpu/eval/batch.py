@@ -52,6 +52,35 @@ def habitat_scene_specs(set_name: str) -> List[Dict]:
     ]
 
 
+def habitat_dataset_factory(user_config_path=None, sim_factory=None):
+    """Default dataset_factory(spec, results_dir) for the habitat scene sets:
+    builds HabitatDataset from the spec's scene config + user dataset roots
+    (reference flow: run_batch_scenes.sh -> habitat.launch config/scene_id
+    args -> get_dataset). results_dir=None builds the judge's fresh 'Eval'
+    dataset (no actions.txt, no result dumps — eval_actions.py:42-60).
+    sim_factory=make_mock_sim (runtime/mock_habitat.py) runs the whole
+    protocol hermetically where the wheels are absent."""
+    from activesplat_tpu.configs import load_user_config
+    from activesplat_tpu.runtime.habitat_backend import get_dataset
+
+    user = load_user_config(user_config_path)
+
+    def factory(spec, results_dir):
+        cfg = dict(spec["scene_config"])
+        cfg["dataset"] = dict(
+            cfg["dataset"], scene_id=spec["scene_id"], step_num=spec["step_num"]
+        )
+        return get_dataset(
+            cfg,
+            user,
+            scene_id=spec["scene_id"] if results_dir is not None else "Eval",
+            results_dir=results_dir,
+            sim_factory=sim_factory,
+        )
+
+    return factory
+
+
 def run_batch(
     scene_set: str,
     output_dir: str,
@@ -61,18 +90,21 @@ def run_batch(
     height: int = 128,
     pixel_max: int = 180,
     dataset_factory=None,
+    user_config_path=None,
+    sim_factory=None,
 ) -> List[Dict]:
     """Run episodes + coverage judge over a scene set; writes
     actions_error.txt per run and a summary.json (eval_results_actions.py
     output shape). scene_set may be a synthetic set or one of the reference
-    habitat lists (HABITAT_SCENE_SETS — pass a dataset_factory(spec,
-    results_dir) building HabitatDataset when the wheels exist)."""
+    habitat lists (HABITAT_SCENE_SETS — built with the default
+    habitat_dataset_factory unless a custom dataset_factory(spec,
+    results_dir) is passed; sim_factory/user_config_path thread into the
+    default)."""
     if scene_set in HABITAT_SCENE_SETS:
         specs = habitat_scene_specs(scene_set)
         if dataset_factory is None:
-            raise RuntimeError(
-                f"scene set {scene_set!r} needs a habitat dataset_factory "
-                "(the wheels are not bundled); see runtime/habitat_backend.py"
+            dataset_factory = habitat_dataset_factory(
+                user_config_path, sim_factory
             )
     else:
         specs = SCENE_SETS[scene_set]
@@ -93,12 +125,23 @@ def run_batch(
                 results_dir=results_dir,
             )
 
+        spec_mapper_cfg = mapper_cfg
+        spec_pixel_max = pixel_max
+        if "scene_config" in spec:
+            from activesplat_tpu.configs import mapper_config_from_scene
+
+            scfg = spec["scene_config"]
+            if spec_mapper_cfg is None:
+                spec_mapper_cfg = mapper_config_from_scene(scfg)
+            spec_pixel_max = (
+                scfg.get("painter", {}).get("grid_map", {}).get("pixel_max", pixel_max)
+            )
         for rep in range(repetitions):
             run_name = f"{spec['scene_id']}-{spec['seed']}-rep{rep}"
             results_dir = os.path.join(output_dir, run_name)
             run_episode(
                 build(results_dir), results_dir,
-                mapper_cfg=mapper_cfg, pixel_max=pixel_max,
+                mapper_cfg=spec_mapper_cfg, pixel_max=spec_pixel_max,
             )
             report = eval_actions(
                 build(None), os.path.join(results_dir, "actions.txt")

@@ -87,6 +87,10 @@ def sample_gt_surface(dataset, num_samples: int = 200_000) -> np.ndarray:
     analytic surfaces, or — for mesh-backed datasets like Habitat — 200k
     trimesh samples of the GT scene mesh (eval_actions.py:65-67)."""
     world = getattr(dataset, "world", None)
+    if world is None:
+        # HabitatDataset driven by the BoxWorld mock sim: the analytic
+        # geometry lives on the simulator (runtime/mock_habitat.py)
+        world = getattr(getattr(dataset, "_sim", None), "world", None)
     if world is not None:
         return world.sample_surface(num_samples, seed=0)
     mesh_url = getattr(dataset, "scene_mesh_url", None)
@@ -119,6 +123,8 @@ def eval_actions(
     coverage (eval_actions.py:42-153 semantics; 200k GT samples, 5 cm
     completeness threshold). workers > 1 fans the per-frame KD queries out
     over a ProcessPoolExecutor (reference: eval_actions.py:98)."""
+    if hasattr(dataset, "setup") and getattr(dataset, "_sim", None) is None:
+        dataset.setup()  # fresh HabitatDataset in 'Eval' mode
     dataset.reset()
     if gt_samples is None:
         gt_samples = sample_gt_surface(dataset, num_gt_samples)
@@ -188,6 +194,7 @@ def eval_map_quality(
     gaussians_data_dir: str,
     frame_stride: int = 1,
     chunk: int = 256,
+    k_per_tile: int = 0,
 ) -> Dict[str, float]:
     """Render the saved map at every dumped frame pose and report averaged
     PSNR / SSIM / MS-SSIM / depth metrics (role of eval/eval_nvs,
@@ -214,7 +221,12 @@ def eval_map_quality(
     for entry in manifest["frames"][::frame_stride]:
         rgb_gt, depth_gt, w2c = load_frame(gaussians_data_dir, entry)
         cam = make_camera(manifest["w"], manifest["h"], intr, w2c)
-        out = render_jit(buf, cam, chunk=chunk)
+        from activesplat_tpu.ops.render import forward_backend
+
+        out = render_jit(
+            buf, cam, chunk=chunk, k_per_tile=k_per_tile,
+            backend=forward_backend() if k_per_tile else "xla",
+        )
         reports.append(
             frame_report(
                 np.asarray(out.rgb), rgb_gt, np.asarray(out.depth), depth_gt

@@ -428,20 +428,26 @@ def get_dataset(
     scene_id: str = "None",
     remark: str = "NONE",
     results_root: Optional[str] = None,
+    results_dir: Optional[str] = None,
     sim_factory: Optional[Callable] = None,
 ) -> HabitatDataset:
     """Dataset factory from a scene-config dict + user dataset-roots dict
     (get_dataset, dataloader.py:293-300; user_config layout
-    config/.templates/user_config.json)."""
+    config/.templates/user_config.json). `results_root` creates the
+    reference's timestamped results/<stamp>_<fmt>_<scene> folder under it;
+    `results_dir` (the launcher's explicit --results_dir) is used verbatim
+    instead."""
     ds = config["dataset"]
     fmt = DatasetFormat(ds["format"])
     sid = ds["scene_id"] if scene_id in ("None", "Eval") else scene_id
     root = user_config["datasets"][fmt.value]["root"]
-    results_dir = None
-    if scene_id != "Eval" and results_root is not None:
+    if scene_id != "Eval" and results_dir is None and results_root is not None:
         results_dir = make_results_dir(
             results_root, fmt.value, sid, ds.get("remark", "")
         )
+    if scene_id == "Eval":
+        results_dir = None
+    if results_dir is not None:
         os.makedirs(results_dir, exist_ok=True)
         with open(os.path.join(results_dir, "config.json"), "w") as fh:
             json.dump(config, fh, indent=4)

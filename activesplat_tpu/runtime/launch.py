@@ -10,7 +10,6 @@ actions.txt, visited_map.png, topdown_free_map.png}.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 from typing import Optional
 
@@ -22,6 +21,13 @@ from activesplat_tpu.runtime.dataloader import RGBDSensor, SyntheticDataset
 from activesplat_tpu.runtime.mapper_node import MapperNode
 from activesplat_tpu.runtime.planner_fsm import PlannerFSM
 from activesplat_tpu.runtime.synthetic import BoxWorld
+
+
+def _ensure_setup(dataset) -> None:
+    """HabitatDataset builds its simulator lazily in setup() (import-gated on
+    the wheels); SyntheticDataset has no setup. Idempotent."""
+    if hasattr(dataset, "setup") and getattr(dataset, "_sim", None) is None:
+        dataset.setup()
 
 
 def make_synthetic_dataset(
@@ -73,12 +79,15 @@ def run_episode(
     max_ticks: int = 100000,
     pano_scale: float = 1.0,
     live_view_port=None,
+    single_floor_expansion=(0.25, 2.0),
+    agent_foot_adjust: float = 0.0,
 ):
     """Run one exploration episode to budget exhaustion. Returns
     (mapper_node, planner)."""
     from activesplat_tpu.utils.tracing import trace_capture
 
     mapper_cfg = mapper_cfg or MapperConfig()
+    _ensure_setup(dataset)
     bus = Bus()
     mapper_node = MapperNode(
         bus,
@@ -86,12 +95,18 @@ def run_episode(
         mapper_cfg,
         results_dir,
         pixel_max=pixel_max,
+        single_floor_expansion=single_floor_expansion,
+        agent_foot_adjust=agent_foot_adjust,
         save_runtime_data=save_runtime_data,
         save_dataset=save_dataset,
         pano_scale=pano_scale,
         live_view_port=live_view_port,
     )
-    planner = PlannerFSM(bus, save_runtime_data=save_runtime_data)
+    planner = PlannerFSM(
+        bus,
+        save_runtime_data=save_runtime_data,
+        live_view=mapper_node.live_view,
+    )
     # set ACTIVESPLAT_TRACE_DIR to capture a device profile of the episode
     with trace_capture():
         planner.run(max_ticks=max_ticks)
@@ -118,6 +133,7 @@ def run_replay(
     from activesplat_tpu.utils import GlobalState
 
     mapper_cfg = mapper_cfg or MapperConfig()
+    _ensure_setup(dataset)
     bus = Bus()
     mapper_node = MapperNode(
         bus,
@@ -156,6 +172,7 @@ def run_manual(
     from activesplat_tpu.utils import GlobalState
 
     mapper_cfg = mapper_cfg or MapperConfig()
+    _ensure_setup(dataset)
     bus = Bus()
     mapper_node = MapperNode(
         bus,
@@ -195,21 +212,121 @@ def run_manual(
     return mapper_node
 
 
+HABITAT_FORMATS = ("gibson", "mp3d", "replica")
+
+
+def build_episode_from_config(
+    scene_cfg: Optional[dict],
+    results_dir: Optional[str],
+    scene_id: Optional[str] = None,
+    user_config_path: Optional[str] = None,
+    sim_factory=None,
+    overrides: Optional[dict] = None,
+) -> dict:
+    """Compose everything an episode needs from a scene-config dict: the
+    dataset (HabitatDataset for gibson/mp3d/replica formats, SyntheticDataset
+    otherwise), the MapperConfig, and the painter/planner knobs the launcher
+    consumes (reference arg plumbing: launch/habitat.launch:1-23 ->
+    scripts/nodes/mapper_node.py:34-137, config JSON -> env yaml -> dataset
+    root -> HabitatDataset).
+
+    `overrides` (CLI flags the user passed explicitly) win over config
+    values; config values win over defaults. Returns dict(dataset,
+    mapper_cfg, pixel_max, single_floor_expansion, agent_foot_adjust)."""
+    from activesplat_tpu.configs import (
+        dataset_kwargs_from_scene,
+        load_user_config,
+        mapper_config_from_scene,
+    )
+
+    scene_cfg = scene_cfg or {}
+    overrides = {k: v for k, v in (overrides or {}).items() if v is not None}
+    fmt = scene_cfg.get("dataset", {}).get("format", "synthetic")
+
+    if fmt in HABITAT_FORMATS:
+        from activesplat_tpu.runtime.habitat_backend import get_dataset
+
+        user = load_user_config(user_config_path)
+        if "step_num" in overrides:
+            scene_cfg = dict(scene_cfg)
+            scene_cfg["dataset"] = dict(
+                scene_cfg["dataset"], step_num=overrides["step_num"]
+            )
+        dataset = get_dataset(
+            scene_cfg,
+            user,
+            scene_id=scene_id or "None",
+            results_dir=results_dir,
+            sim_factory=sim_factory,
+        )
+    else:
+        kw = dataset_kwargs_from_scene(scene_cfg)
+        for key in ("scene_id", "seed", "step_num", "width", "height"):
+            if key in overrides:
+                kw[key] = overrides[key]
+        if scene_id:
+            kw["scene_id"] = scene_id
+        dataset = make_synthetic_dataset(results_dir=results_dir, **kw)
+
+    mapper = scene_cfg.get("mapper", {})
+    single_floor = mapper.get("single_floor", {}).get("expansion", {})
+    return {
+        "dataset": dataset,
+        "mapper_cfg": mapper_config_from_scene(scene_cfg),
+        "pixel_max": overrides.get(
+            "pixel_max",
+            scene_cfg.get("painter", {}).get("grid_map", {}).get("pixel_max", 360),
+        ),
+        "single_floor_expansion": (
+            float(single_floor.get("foot", 0.25)),
+            float(single_floor.get("head", 2.0)),
+        ),
+        "agent_foot_adjust": float(
+            scene_cfg.get("planner", {}).get("agent_foot_adjust", 0.0)
+        ),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser(description="ActiveSplat-TPU episode launcher")
-    parser.add_argument("--scene_id", default="two_room")
-    parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--step_num", type=int, default=500)
-    parser.add_argument("--width", type=int, default=256)
-    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument(
+        "--config", type=str, default=None,
+        help="scene config: a bundled name (gibson, mp3d, synthetic_small, "
+        "...) or a JSON path; gibson/mp3d/replica formats build a "
+        "HabitatDataset from the env yaml + user-config dataset roots "
+        "(reference: roslaunch activesplat habitat.launch config:=...)",
+    )
+    parser.add_argument(
+        "--scene_id", default=None,
+        help="scene override (habitat scene id, or two_room/single_room for "
+        "synthetic configs)",
+    )
+    parser.add_argument(
+        "--user_config", type=str, default=None,
+        help="dataset-roots JSON (config/.templates/user_config.json layout)",
+    )
+    parser.add_argument(
+        "--habitat_sim", default="real", choices=["real", "mock"],
+        help="mock: drive the habitat adapter with the BoxWorld-backed mock "
+        "simulator (runtime/mock_habitat.py) — hermetic, no wheels needed",
+    )
+    parser.add_argument(
+        "--mesh", type=int, default=None, choices=[0, 1],
+        help="1: shard training renders over all visible devices "
+        "(MapperConfig.use_mesh; needs >1 device and height % (devices*16) "
+        "== 0)",
+    )
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--step_num", type=int, default=None)
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--results_dir", required=True)
-    parser.add_argument("--pixel_max", type=int, default=360)
+    parser.add_argument("--pixel_max", type=int, default=None)
     parser.add_argument("--save_runtime_data", type=int, default=0)
     parser.add_argument(
         "--live_view_port", type=int, default=None,
         help="serve the headless live-view dashboard on this port (0 = auto)",
     )
-    parser.add_argument("--config", type=str, default=None, help="dataset JSON config")
     parser.add_argument(
         "--mode",
         default="auto",
@@ -221,38 +338,59 @@ def main():
     parser.add_argument("--actions", type=str, default=None, help="actions.txt for replay mode")
     args = parser.parse_args()
 
-    kw = {}
+    scene_cfg = None
     if args.config:
-        with open(args.config) as fh:
-            cfg = json.load(fh)
-        kw["step_num"] = cfg.get("dataset", {}).get("step_num", args.step_num)
+        from activesplat_tpu.configs import load_scene_config
+
+        scene_cfg = load_scene_config(args.config)
+    sim_factory = None
+    if args.habitat_sim == "mock":
+        from activesplat_tpu.runtime.mock_habitat import make_mock_sim
+
+        sim_factory = make_mock_sim
 
     os.makedirs(args.results_dir, exist_ok=True)
-    dataset = make_synthetic_dataset(
+    # default synthetic scene when no config is given (round-1 CLI parity)
+    if scene_cfg is None:
+        scene_cfg = {"dataset": {"format": "synthetic", "scene_id": "two_room"}}
+    episode = build_episode_from_config(
+        scene_cfg,
+        args.results_dir if args.mode in ("auto", "manual") else None,
         scene_id=args.scene_id,
-        seed=args.seed,
-        step_num=kw.get("step_num", args.step_num),
-        width=args.width,
-        height=args.height,
-        results_dir=args.results_dir if args.mode in ("auto", "manual") else None,
+        user_config_path=args.user_config,
+        sim_factory=sim_factory,
+        overrides={
+            "seed": args.seed,
+            "step_num": args.step_num,
+            "width": args.width,
+            "height": args.height,
+            "pixel_max": args.pixel_max,
+        },
     )
+    dataset = episode["dataset"]
+    mapper_cfg = episode["mapper_cfg"]
+    if args.mesh is not None:
+        import dataclasses
+
+        mapper_cfg = dataclasses.replace(mapper_cfg, use_mesh=bool(args.mesh))
+    common = dict(mapper_cfg=mapper_cfg, pixel_max=episode["pixel_max"])
     if args.mode == "replay":
         if not args.actions:
             parser.error("--mode replay requires --actions")
         mapper_node = run_replay(
-            dataset, args.actions, args.results_dir, pixel_max=args.pixel_max
+            dataset, args.actions, args.results_dir, **common
         )
     elif args.mode == "manual":
-        mapper_node = run_manual(
-            dataset, args.results_dir, pixel_max=args.pixel_max
-        )
+        mapper_node = run_manual(dataset, args.results_dir, **common)
     else:
         mapper_node, planner = run_episode(
             dataset,
             args.results_dir,
-            pixel_max=args.pixel_max,
             save_runtime_data=bool(args.save_runtime_data),
             live_view_port=args.live_view_port,
+            single_floor_expansion=episode["single_floor_expansion"],
+            agent_foot_adjust=episode["agent_foot_adjust"],
+            **common,
         )
     print("episode finished:", mapper_node.mapper.num_gaussians(), "gaussians")
 

@@ -243,7 +243,7 @@ def test_benchmark_config_surface():
     assert len(scenes) == 13 and "Denmark" in scenes and "GdvgFV5R1Z5" in scenes
 
 
-def test_habitat_batch_specs():
+def test_habitat_batch_specs(tmp_path):
     from activesplat_tpu.eval.batch import HABITAT_SCENE_SETS, habitat_scene_specs
 
     specs = habitat_scene_specs("gibson_big")
@@ -253,8 +253,10 @@ def test_habitat_batch_specs():
 
     from activesplat_tpu.eval.batch import run_batch
 
-    with pytest.raises(RuntimeError, match="dataset_factory"):
-        run_batch("mp3d_small", "/tmp/nowhere")
+    # the default habitat factory is wired in: without wheels (this image)
+    # the run fails at simulator setup, not for lack of a dataset_factory
+    with pytest.raises(ModuleNotFoundError, match="habitat"):
+        run_batch("mp3d_small", str(tmp_path))
 
 
 def test_bbox_derived_from_navmesh(dataset):
