@@ -1,0 +1,128 @@
+"""Hardware episode harness: run a full active-exploration episode on the
+ambient accelerator, then score coverage + map quality and write one JSON
+artifact (the EPISODE_r{N}.json quality ledger — VERDICT round-2 item 4:
+throughput has a ledger, quality needs one too).
+
+Knobs via env:
+  EP_OUT      output JSON path            (default episodes/episode.json)
+  EP_DIR      results dir                 (default episodes/<name>)
+  EP_STEPS    step budget                 (default 1000 — the reference's
+                                           small-scene protocol,
+                                           run_batch_scenes.sh:13)
+  EP_SCENE    two_room | single_room      (default two_room)
+  EP_SEED     world seed                  (default 0)
+  EP_RES      sensor resolution           (default 256)
+  EP_ITERS    mapping_iters               (default 2 — benchmark schedule)
+  EP_MAP_EVERY / EP_KF_EVERY              (default 5 / 5)
+  EP_DENSIFY_DOWNSCALE                    (default 1)
+  EP_PRUNE    1 = prune_gaussians on      (default 0)
+  EP_K        starting k_per_tile         (default 256)
+  EP_KMAX     k_per_tile ceiling          (default 1024)
+  EP_STRIDE   eval frame stride           (default 10)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import dataclasses
+
+    from activesplat_tpu.eval.replay import eval_actions, eval_map_quality
+    from activesplat_tpu.mapper.config import MapperConfig
+    from activesplat_tpu.runtime.launch import make_synthetic_dataset, run_episode
+
+    name = os.environ.get("EP_NAME", "episode")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results_dir = os.environ.get(
+        "EP_DIR", os.path.join(root, "episodes", name)
+    )
+    out_path = os.environ.get(
+        "EP_OUT", os.path.join(root, "episodes", f"{name}.json")
+    )
+    steps = int(os.environ.get("EP_STEPS", 1000))
+    scene = os.environ.get("EP_SCENE", "two_room")
+    seed = int(os.environ.get("EP_SEED", 0))
+    res = int(os.environ.get("EP_RES", 256))
+
+    cfg = MapperConfig(
+        mapping_iters=int(os.environ.get("EP_ITERS", 2)),
+        map_every=int(os.environ.get("EP_MAP_EVERY", 5)),
+        kf_every=int(os.environ.get("EP_KF_EVERY", 5)),
+        densify_downscale_factor=int(os.environ.get("EP_DENSIFY_DOWNSCALE", 1)),
+        prune_gaussians=bool(int(os.environ.get("EP_PRUNE", 0))),
+        k_per_tile=int(os.environ.get("EP_K", 256)),
+        k_per_tile_max=int(os.environ.get("EP_KMAX", 1024)),
+    )
+    knobs = {
+        "steps": steps, "scene": f"{scene}-{seed}", "res": res,
+        "mapping_iters": cfg.mapping_iters, "map_every": cfg.map_every,
+        "densify_downscale_factor": cfg.densify_downscale_factor,
+        "prune": cfg.prune_gaussians, "k_per_tile": cfg.k_per_tile,
+        "k_per_tile_max": cfg.k_per_tile_max,
+    }
+    print("episode knobs:", json.dumps(knobs))
+
+    dataset = make_synthetic_dataset(
+        scene_id=scene, seed=seed, step_num=steps, width=res, height=res,
+        results_dir=results_dir,
+    )
+    t0 = time.time()
+    mapper_node, planner = run_episode(dataset, results_dir, mapper_cfg=cfg)
+    wall = time.time() - t0
+    mapper = mapper_node.mapper
+    final_k = mapper.cfg.k_per_tile
+    num_g = mapper.num_gaussians()
+    online_psnr = [m["psnr"] for m in mapper.online_metrics]
+    dropped_trace = [m.get("dropped", 0) for m in mapper.online_metrics]
+    print(
+        f"episode done in {wall/60:.1f} min: {num_g} gaussians, final "
+        f"k_per_tile {final_k}, last online psnr {online_psnr[-1]:.2f}"
+    )
+
+    # coverage judge (fresh replay dataset, same constructor params)
+    report = eval_actions(
+        make_synthetic_dataset(
+            scene_id=scene, seed=seed, step_num=steps, width=res, height=res
+        ),
+        os.path.join(results_dir, "actions.txt"),
+        workers=0,
+    )
+    # map quality over the dumped trajectory
+    quality = eval_map_quality(
+        os.path.join(results_dir, "gaussians_data", "params.npz"),
+        os.path.join(results_dir, "gaussians_data"),
+        frame_stride=int(os.environ.get("EP_STRIDE", 10)),
+        k_per_tile=final_k,
+    )
+    artifact = {
+        "knobs": knobs,
+        "wall_clock_min": round(wall / 60, 2),
+        "num_gaussians": int(num_g),
+        "final_k_per_tile": int(final_k),
+        "avg_iter_ms": round(
+            mapper.mapping_iter_time_sum
+            / max(mapper.mapping_iter_time_count, 1) * 1000, 3,
+        ),
+        "completeness_m": round(report.completeness, 4),
+        "completeness_ratio": round(report.completeness_ratio, 4),
+        "accuracy_m": round(report.accuracy, 4),
+        "path_length_m": round(report.path_length, 2),
+        "online_psnr_last100_mean": round(float(np.mean(online_psnr[-100:])), 2),
+        "dropped_max": int(max(dropped_trace) if dropped_trace else 0),
+        **{k: round(float(v), 4) for k, v in quality.items()},
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
