@@ -73,7 +73,16 @@ class SplaTAMMapper:
             )
             mesh = None
         self.mesh = mesh
+        # densify renders at height/downscale_factor — its own (possibly
+        # smaller) mesh must divide THAT height into whole tile rows
+        self._densify_mesh = None
         if mesh is not None:
+            from activesplat_tpu.parallel.sharded import mesh_for_height
+
+            f = max(int(cfg.densify_downscale_factor), 1)
+            self._densify_mesh = mesh_for_height(
+                self.height // f, list(mesh.devices.flat)
+            )
             print(
                 f"mapper: sharding renders over {mesh.shape['px']} devices "
                 f"({self.height // mesh.shape['px']} rows each)"
@@ -268,14 +277,21 @@ class SplaTAMMapper:
 
         # Densification on map frames (splatam/__init__.py:408-417).
         if is_map_frame and self.cfg.add_new_gaussians and frame_id > 0:
+            from activesplat_tpu.ops.render import forward_backend
+
+            densify_kw = dict(
+                mesh=self._densify_mesh,
+                backend=forward_backend() if self.cfg.k_per_tile else "xla",
+            )
             with stage("mapper/densify"):
                 self.buf, dropped, n_new = densify_phase(
-                    self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id), self.cfg
+                    self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
+                    self.cfg, **densify_kw,
                 )
                 if self._grow_if_needed(int(dropped), 4096):
                     self.buf, dropped, n_new = densify_phase(
                         self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
-                        self.cfg,
+                        self.cfg, **densify_kw,
                     )
 
         # Optimization phase: selection + iterations, one device program

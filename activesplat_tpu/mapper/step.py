@@ -363,7 +363,7 @@ def mapping_iteration(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "backend"))
 def densify_phase(
     buf: GaussianBuffer,
     cam: Camera,  # w2c = current frame
@@ -371,14 +371,18 @@ def densify_phase(
     depth_gt: jnp.ndarray,
     frame_id: jnp.ndarray,
     cfg: MapperConfig,
+    mesh=None,
+    backend: str = "xla",
 ):
     """Silhouette/depth-error densification (add_new_gaussians semantics,
     splatam.py:332-379): pixels the map does not yet explain become new
     Gaussians, written into free buffer slots. Runs at the densification
     resolution (cfg.densify_downscale_factor, the reference's
     densification_image_width/height, splatam/__init__.py:135-136,361-375),
-    which also bounds Gaussian-count growth. Returns
-    (buf, num_dropped, num_inserted)."""
+    which also bounds Gaussian-count growth. With `mesh`, the silhouette
+    render's blend shards over the mesh like mapping_phase (candidate
+    backprojection + masked insertion are O(pixels)/O(capacity) elementwise
+    and stay replicated). Returns (buf, num_dropped, num_inserted)."""
     from activesplat_tpu.ops.render import forward_backend
 
     f = max(int(cfg.densify_downscale_factor), 1)
@@ -395,18 +399,26 @@ def densify_phase(
         rgb = rgb[:: f, :: f][: cam.height, : cam.width]
         depth_gt = depth_gt[:: f, :: f][: cam.height, : cam.width]
 
-    out = render(
-        buf,
-        cam,
-        chunk=cfg.chunk,
-        k_per_tile=cfg.k_per_tile,
-        backend=forward_backend() if cfg.k_per_tile else "xla",
-    )
-    sil = out.alpha
-    depth_error = jnp.abs(depth_gt - out.depth) * (depth_gt > 0)
+    if mesh is not None and cfg.k_per_tile > 0:
+        from activesplat_tpu.parallel.sharded import render_sharded_tiled
+
+        _, out_depth, sil, _, _ = render_sharded_tiled(
+            buf, cam, mesh, k_per_tile=cfg.k_per_tile, backend=backend
+        )
+    else:
+        out = render(
+            buf,
+            cam,
+            chunk=cfg.chunk,
+            k_per_tile=cfg.k_per_tile,
+            backend=forward_backend() if cfg.k_per_tile else "xla",
+        )
+        sil = out.alpha
+        out_depth = out.depth
+    depth_error = jnp.abs(depth_gt - out_depth) * (depth_gt > 0)
     med = jnp.median(depth_error)
     non_presence_depth = (
-        (out.depth > depth_gt)
+        (out_depth > depth_gt)
         & (depth_error > 2.0 * med)
         & (sil > cfg.sil_thres)
         & (depth_gt < cfg.new_gaussian_depth_limit)
