@@ -612,6 +612,7 @@ class SplaTAMMapper:
             node_positions,
             chunk=self.cfg.chunk,
             scale=self.pano_scale,
+            mesh=self.mesh,
         )
 
     def get_local_invisibility(
@@ -625,6 +626,7 @@ class SplaTAMMapper:
             cluster_invisibility_threshold,
             chunk=self.cfg.chunk,
             scale=self.pano_scale,
+            mesh=self.mesh,
         )
 
     def get_high_loss_samples(

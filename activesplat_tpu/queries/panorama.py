@@ -51,11 +51,7 @@ def _pano_camera_template(scale: float = 1.0):
     return make_camera(width, height, intr, np.eye(4), near=0.01, far=100.0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "scale"))
-def _render_views(
-    buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256, scale: float = 1.0
-):
-    """Batched render of (M, 4, 4) w2cs -> stacked (M, H, W) outputs."""
+def _views_impl(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int, scale: float):
     from activesplat_tpu.ops.render import forward_backend
 
     cam = _pano_camera_template(scale)
@@ -75,15 +71,50 @@ def _render_views(
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "scale"))
-def _render_views_quantized(
+def _render_views(
     buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int = 256, scale: float = 1.0
+):
+    """Batched render of (M, 4, 4) w2cs -> stacked (M, H, W) outputs."""
+    return _views_impl(buf, w2cs, chunk, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "scale", "mesh"))
+def _render_views_quantized(
+    buf: GaussianBuffer,
+    w2cs: jnp.ndarray,
+    chunk: int = 256,
+    scale: float = 1.0,
+    mesh=None,
 ):
     """_render_views with on-device quantization of the score inputs:
     depth as uint16 millimeters (the dataset-dump precision, io/manifest),
     alpha as uint8 /255. Hole scoring thresholds invisibility at 0.3/0.8, so
     1/255 quantization is far below its sensitivity — and the host transfer
-    shrinks 2.7x, which dominates the query latency on large maps."""
-    _, depth, alpha = _render_views(buf, w2cs, chunk, scale)
+    shrinks 2.7x, which dominates the query latency on large maps.
+
+    `mesh` shards the VIEW axis over the devices (panorama queries are
+    embarrassingly parallel across look directions — each device projects +
+    renders its own views against the replicated buffer, outputs
+    all_gathered); len(w2cs) must divide by the mesh size."""
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def shard(buf_rep, w2cs_local):
+            _, depth, alpha = _views_impl(buf_rep, w2cs_local, chunk, scale)
+            return (
+                jax.lax.all_gather(depth, "px", tiled=True),
+                jax.lax.all_gather(alpha, "px", tiled=True),
+            )
+
+        depth, alpha = jax.shard_map(
+            shard,
+            mesh=mesh,
+            in_specs=(P(), P("px")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(buf, w2cs)
+    else:
+        _, depth, alpha = _views_impl(buf, w2cs, chunk, scale)
     depth_mm = jnp.clip(jnp.round(depth * 1000.0), 0, 65535).astype(jnp.uint16)
     alpha_u8 = jnp.round(jnp.clip(alpha, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return depth_mm, alpha_u8
@@ -120,6 +151,7 @@ def global_invisibility(
     node_positions: np.ndarray,  # (N, 3) world positions (height from view)
     chunk: int = 256,
     scale: float = 1.0,
+    mesh=None,
 ) -> List[Tuple[float, float]]:
     """Per-node (sum_invisibility, hole_volume) scores. All N x 3 views render
     in a single batched device call; hole scoring (DBSCAN + ConvexHull) runs
@@ -148,6 +180,8 @@ def global_invisibility(
     # keeping one compiled variant.
     m = len(w2cs_np)
     view_chunk = 12
+    if mesh is not None:  # each device takes an equal share of the chunk
+        view_chunk = -(-view_chunk // mesh.shape["px"]) * mesh.shape["px"]
     padded = -(-m // view_chunk) * view_chunk
     if padded != m:
         w2cs_np = np.concatenate(
@@ -161,6 +195,7 @@ def global_invisibility(
             jnp.asarray(w2cs_np[start : start + view_chunk], jnp.float32),
             chunk,
             scale,
+            mesh,
         )
         depth_parts.append(np.asarray(d_c))
         alpha_parts.append(np.asarray(a_c))
@@ -197,6 +232,7 @@ def local_invisibility(
     cluster_invisibility_threshold: float = 25.0,
     chunk: int = 256,
     scale: float = 1.0,
+    mesh=None,
 ) -> Tuple[float, Optional[np.ndarray], np.ndarray]:
     """Local refinement query: returns (sum_invisibility, best reorientation
     c2w or None, invisibility panorama). A reorientation toward the largest
@@ -205,9 +241,18 @@ def local_invisibility(
     # lean transfer: only the alpha panorama crosses to host (u8; the rgb
     # and depth channels of render_panorama are unused here)
     poses = pano_view_poses(view_c2w)
-    w2cs = jnp.asarray(np.linalg.inv(poses), jnp.float32)
-    _, alpha_u8 = _render_views_quantized(buf, w2cs, chunk, scale)
-    invis = 1.0 - np.concatenate(np.asarray(alpha_u8), axis=1) / 255.0
+    w2cs_np = np.linalg.inv(poses)
+    if mesh is not None:  # pad the 3 views up to a device multiple
+        d = mesh.shape["px"]
+        pad = -(-PANO_VIEWS // d) * d - PANO_VIEWS
+        if pad:
+            w2cs_np = np.concatenate([w2cs_np, np.tile(np.eye(4), (pad, 1, 1))], 0)
+    _, alpha_u8 = _render_views_quantized(
+        buf, jnp.asarray(w2cs_np, jnp.float32), chunk, scale, mesh
+    )
+    invis = (
+        1.0 - np.concatenate(np.asarray(alpha_u8)[:PANO_VIEWS], axis=1) / 255.0
+    )
     sum_invis = float(np.sum(invis))
     best_pose = None
     if sum_invis > 100.0 * scale * scale:

@@ -160,6 +160,32 @@ def test_mapper_on_mesh_full_frames(rng):
     assert abs(meshed.last_metrics["psnr"] - single.last_metrics["psnr"]) < 0.1
 
 
+def test_panorama_queries_on_mesh_match_single_device(rng):
+    """View-sharded panorama queries (planner scoring) == single-device."""
+    from activesplat_tpu.queries.panorama import global_invisibility, local_invisibility
+
+    scene = random_scene(rng, 300)
+    buf = buffer_from_scene(scene)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [0.0, 0.0, 2.0]
+    nodes = np.array([[0.5, 0.0, 1.5], [-0.5, 0.0, 2.5], [0.0, 0.0, 0.0]])
+    mesh = make_render_mesh()
+    single = global_invisibility(buf, c2w, nodes, chunk=64, scale=0.4)
+    meshed = global_invisibility(buf, c2w, nodes, chunk=64, scale=0.4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(meshed), np.asarray(single), atol=1e-6)
+    s_sum, s_pose, s_inv = local_invisibility(buf, c2w, chunk=64, scale=0.4)
+    m_sum, m_pose, m_inv = local_invisibility(
+        buf, c2w, chunk=64, scale=0.4, mesh=mesh
+    )
+    assert m_sum == s_sum
+    np.testing.assert_array_equal(m_inv, s_inv)
+    if s_pose is None:
+        assert m_pose is None
+    else:
+        np.testing.assert_allclose(m_pose, s_pose)
+
+
 def test_sharded_tiled_matches_single_device(rng):
     from activesplat_tpu.parallel.sharded import render_sharded_tiled
 
