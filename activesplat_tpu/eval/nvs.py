@@ -43,7 +43,10 @@ def eval_nvs(
         if idx != 0 and (idx + 1) % eval_every != 0:
             continue
         cam = make_camera(width, height, intrinsics, np.linalg.inv(c2w))
-        out = render_jit(buf, cam, chunk=chunk, k_per_tile=k_per_tile)
+        out = render_jit(
+            buf, cam, chunk=chunk, k_per_tile=k_per_tile,
+            exact=k_per_tile > 0,  # NVS scoring must not be k-truncated
+        )
         im = np.asarray(out.rgb)
         rastered_depth = np.asarray(out.depth)
         silhouette = np.asarray(out.alpha)

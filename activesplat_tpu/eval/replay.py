@@ -226,6 +226,7 @@ def eval_map_quality(
         out = render_jit(
             buf, cam, chunk=chunk, k_per_tile=k_per_tile,
             backend=forward_backend() if k_per_tile else "xla",
+            exact=k_per_tile > 0,  # quality eval must not be k-truncated
         )
         reports.append(
             frame_report(

@@ -573,6 +573,7 @@ class SplaTAMMapper:
             chunk=self.cfg.chunk,
             k_per_tile=self.cfg.k_per_tile,
             backend=forward_backend(),
+            exact=self.cfg.k_per_tile > 0,
         )
         rgb = (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
         return rgb, np.asarray(out.depth)
@@ -593,6 +594,7 @@ class SplaTAMMapper:
             chunk=self.cfg.chunk,
             k_per_tile=self.cfg.k_per_tile,
             backend=forward_backend(),
+            exact=self.cfg.k_per_tile > 0,
         )
         return {
             "rgb": np.asarray(out.rgb),
@@ -656,6 +658,7 @@ class SplaTAMMapper:
             chunk=self.cfg.chunk,
             k_per_tile=self.cfg.k_per_tile,
             backend=forward_backend(),
+            exact=self.cfg.k_per_tile > 0,
         )
         depth = np.asarray(out.depth)
         opacity = np.asarray(out.alpha)

@@ -399,11 +399,15 @@ def densify_phase(
         rgb = rgb[:: f, :: f][: cam.height, : cam.width]
         depth_gt = depth_gt[:: f, :: f][: cam.height, : cam.width]
 
+    # exact (uncapped multi-pass) compositing: a k-truncated silhouette reads
+    # falsely low on dense unconverged tiles, which makes this very function
+    # re-add already-present surfaces every map frame — runaway densification
     if mesh is not None and cfg.k_per_tile > 0:
         from activesplat_tpu.parallel.sharded import render_sharded_tiled
 
         _, out_depth, sil, _, _ = render_sharded_tiled(
-            buf, cam, mesh, k_per_tile=cfg.k_per_tile, backend=backend
+            buf, cam, mesh, k_per_tile=cfg.k_per_tile, backend=backend,
+            exact=True,
         )
     else:
         out = render(
@@ -412,6 +416,7 @@ def densify_phase(
             chunk=cfg.chunk,
             k_per_tile=cfg.k_per_tile,
             backend=forward_backend() if cfg.k_per_tile else "xla",
+            exact=cfg.k_per_tile > 0,
         )
         sil = out.alpha
         out_depth = out.depth

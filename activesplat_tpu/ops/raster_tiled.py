@@ -52,8 +52,14 @@ def bin_gaussians(
     width: int,
     height: int,
     k_per_tile: int,
+    slot_offset=0,
 ) -> TileLists:
-    """Fixed-capacity per-tile lists from Gaussian screen AABBs."""
+    """Fixed-capacity per-tile lists from Gaussian screen AABBs.
+
+    `slot_offset` (dynamic scalar) selects the members at list positions
+    [offset, offset + k) of each tile instead of the first k — the window a
+    multi-pass blend walks (rasterize_tiled_exact): pass p reads offset p*k.
+    """
     n = mean2d.shape[0]
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
@@ -128,7 +134,9 @@ def bin_gaussians(
             packed_aabb, (0, pad), constant_values=np.int32(np.uint32(255 << 24))
         )
     aabb_blocks = packed_aabb.reshape(1, nb, blk)
-    ks = jnp.arange(k_per_tile, dtype=jnp.int32)  # 0-based slot ids
+    ks = jnp.arange(k_per_tile, dtype=jnp.int32) + jnp.int32(
+        slot_offset
+    )  # 0-based slot ids of this window
 
     if nb <= 512:
         # two levels: block scan -> in-block bit scan
@@ -199,9 +207,9 @@ def bin_gaussians(
     indices = jnp.where(ks[None, :] < count_full[:, None], indices, n).astype(
         jnp.int32
     )
-    count = jnp.minimum(count_full, k_per_tile)
-    overflow = jnp.maximum(count_full - k_per_tile, 0)
-    return TileLists(indices=indices, count=count, overflow=overflow)
+    in_window = jnp.clip(count_full - jnp.int32(slot_offset), 0, k_per_tile)
+    overflow = jnp.maximum(count_full - jnp.int32(slot_offset) - k_per_tile, 0)
+    return TileLists(indices=indices, count=in_window, overflow=overflow)
 
 
 def _blend_tile(
@@ -248,7 +256,8 @@ def _prefix_buckets(n: int, smallest: int = 4096) -> Tuple[int, ...]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "k_per_tile", "backend")
+    jax.jit,
+    static_argnames=("width", "height", "k_per_tile", "backend", "max_passes"),
 )
 def rasterize_tiled(
     mean2d: jnp.ndarray,  # (N, 2) UNSORTED (projection order)
@@ -263,6 +272,7 @@ def rasterize_tiled(
     height: int,
     k_per_tile: int = 256,
     backend: str = "xla",
+    max_passes: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Tile-binned front-to-back compositing.
 
@@ -292,6 +302,12 @@ def rasterize_tiled(
     that gates densification — and a converged dense map overflows
     saturated tiles everywhere, so counting them would drive the mapper's
     k escalation (mapper/splatam.py) to the ceiling for no benefit.
+
+    max_passes > 1 composites EXACTLY like the uncapped CUDA reference:
+    farther k-windows of each tile list fold in (associative front-to-back)
+    until every tile saturates or exhausts — FORWARD-ONLY (lax.while_loop);
+    use it for densify silhouettes, planner queries and eval, never for the
+    gradient path.
     """
     n = mean2d.shape[0]
     key = jnp.where(valid, depth, jnp.inf)
@@ -307,6 +323,7 @@ def rasterize_tiled(
         height=height,
         k_per_tile=k_per_tile,
         backend=backend,
+        max_passes=max_passes,
     )
 
 
@@ -320,6 +337,7 @@ def _rasterize_tiled_data(
     height: int,
     k_per_tile: int,
     backend: str,
+    max_passes: int = 1,
 ):
     n = data.shape[0]
     # One multi-operand sort carries the binning attributes with the keys —
@@ -364,12 +382,16 @@ def _rasterize_tiled_data(
                 height=height,
                 k_per_tile=min(k_per_tile, b),
                 backend=backend,
+                max_passes=max_passes,
             )
 
         return run
 
     index = jnp.searchsorted(jnp.asarray(buckets), n_valid, side="left")
     return jax.lax.switch(index, [branch(b) for b in buckets])
+
+
+_SATURATED_LOG_T = float(np.log(0.02))  # < 2% transmittance left
 
 
 def _rasterize_tiled_prefix(
@@ -381,6 +403,7 @@ def _rasterize_tiled_prefix(
     height: int,
     k_per_tile: int,
     backend: str = "xla",
+    max_passes: int = 1,
 ):
     n = data.shape[0]
     c_dim = data.shape[1] - 6
@@ -388,14 +411,6 @@ def _rasterize_tiled_prefix(
     tiles_y = -(-height // TILE)
 
     b = packed.shape[0]
-    lists = bin_gaussians(
-        packed[:, :2], packed[:, 2], packed[:, 3] > 0, width, height, k_per_tile
-    )
-    # map sorted-order list entries to original Gaussian ids; bin padding (b)
-    # becomes the blend padding row (n)
-    global_ids = jnp.where(
-        lists.indices >= b, n, order[jnp.minimum(lists.indices, n - 1)]
-    )
 
     # padding row (index n): off-screen mean, unit conic, zero opacity/colors
     pad_row = jnp.concatenate(
@@ -415,53 +430,101 @@ def _rasterize_tiled_prefix(
     lx = local % TILE
     ly = local // TILE
 
-    if backend == "pallas":
-        import jax as _jax
-
-        from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles
-
-        # the kernel walks SEG-gaussian segments: round the per-tile list
-        # capacity up with padding entries (index n = the zero-opacity
-        # padding row, blended as a no-op)
-        if k_per_tile % SEG != 0:
-            pad_k = SEG - k_per_tile % SEG
-            global_ids = jnp.concatenate(
-                [global_ids, jnp.full((global_ids.shape[0], pad_k), n, jnp.int32)],
-                axis=1,
-            )
-        if c_dim > 8:
-            raise ValueError(
-                f"pallas blend supports at most 8 channels (MXU lane-packed "
-                f"colour block), got {c_dim}; use backend='xla'"
-            )
-        # no padding columns in the gather: its transpose scatter-add in the
-        # backward then moves only live attributes
-        tile_data = jnp.pad(
-            pad_data[global_ids], ((0, 0), (0, 0), (0, 16 - 6 - c_dim))
-        )  # (T, K, 16)
-        accum_t, logt_t = blend_tiles(
-            tile_data,
-            tile_u0.astype(jnp.int32),
-            tile_v0.astype(jnp.int32),
-            c_dim,
-            _jax.default_backend() != "tpu",
+    def blend_pass(slot_offset):
+        """Bin + blend ONE k-wide window of every tile's member list.
+        Returns (accum_t (T, px, C), logt_t (T, px), overflow (T,))."""
+        lists = bin_gaussians(
+            packed[:, :2], packed[:, 2], packed[:, 3] > 0, width, height,
+            k_per_tile, slot_offset,
         )
-    else:
+        # map sorted-order list entries to original Gaussian ids; bin
+        # padding (b) becomes the blend padding row (n)
+        global_ids = jnp.where(
+            lists.indices >= b, n, order[jnp.minimum(lists.indices, n - 1)]
+        )
+        if backend == "pallas":
+            import jax as _jax
 
-        def tile_fn(ids, u0, v0):
-            px = u0.astype(data.dtype) + lx
-            py = v0.astype(data.dtype) + ly
-            return _blend_tile(
-                ids,
-                pad_data[:, 0:2],
-                pad_data[:, 2:5],
-                pad_data[:, 5],
-                pad_data[:, 6:],
-                px,
-                py,
+            from activesplat_tpu.ops.raster_pallas import SEG, blend_tiles
+
+            # the kernel walks SEG-gaussian segments: round the per-tile list
+            # capacity up with padding entries (index n = the zero-opacity
+            # padding row, blended as a no-op)
+            if k_per_tile % SEG != 0:
+                pad_k = SEG - k_per_tile % SEG
+                global_ids = jnp.concatenate(
+                    [
+                        global_ids,
+                        jnp.full((global_ids.shape[0], pad_k), n, jnp.int32),
+                    ],
+                    axis=1,
+                )
+            if c_dim > 8:
+                raise ValueError(
+                    f"pallas blend supports at most 8 channels (MXU "
+                    f"lane-packed colour block), got {c_dim}; use "
+                    "backend='xla'"
+                )
+            # no padding columns in the gather: its transpose scatter-add in
+            # the backward then moves only live attributes
+            tile_data = jnp.pad(
+                pad_data[global_ids], ((0, 0), (0, 0), (0, 16 - 6 - c_dim))
+            )  # (T, K, 16)
+            accum_t, logt_t = blend_tiles(
+                tile_data,
+                tile_u0.astype(jnp.int32),
+                tile_v0.astype(jnp.int32),
+                c_dim,
+                _jax.default_backend() != "tpu",
+            )
+        else:
+
+            def tile_fn(ids, u0, v0):
+                px = u0.astype(data.dtype) + lx
+                py = v0.astype(data.dtype) + ly
+                return _blend_tile(
+                    ids,
+                    pad_data[:, 0:2],
+                    pad_data[:, 2:5],
+                    pad_data[:, 5],
+                    pad_data[:, 6:],
+                    px,
+                    py,
+                )
+
+            accum_t, logt_t = jax.vmap(tile_fn)(global_ids, tile_u0, tile_v0)
+        return accum_t, logt_t, lists.overflow
+
+    accum_t, logt_t, overflow = blend_pass(jnp.int32(0))
+
+    if max_passes > 1:
+        # Exact (uncapped, reference-semantics) compositing: walk farther
+        # k-windows of every tile list until all overflowing tiles saturate
+        # or exhaust. Front-to-back blending is associative —
+        # total = accum_1 + T_1 * accum_2 + T_1 T_2 * accum_3 ... — so each
+        # pass's output folds in with one elementwise multiply-add. Uses
+        # lax.while_loop, hence FORWARD-ONLY (reverse-mode jax cannot
+        # differentiate while_loop); the training path keeps max_passes=1.
+        def needs_more(carry):
+            p, accum_c, logt_c, overflow_c = carry
+            unsat = jnp.max(logt_c, axis=1) > _SATURATED_LOG_T
+            return (p < max_passes) & jnp.any((overflow_c > 0) & unsat)
+
+        def next_pass(carry):
+            p, accum_c, logt_c, overflow_c = carry
+            accum_p, logt_p, overflow_p = blend_pass(p * k_per_tile)
+            t_c = jnp.exp(logt_c)
+            return (
+                p + 1,
+                accum_c + t_c[:, :, None] * accum_p,
+                logt_c + logt_p,
+                overflow_p,
             )
 
-        accum_t, logt_t = jax.vmap(tile_fn)(global_ids, tile_u0, tile_v0)
+        _, accum_t, logt_t, overflow = jax.lax.while_loop(
+            needs_more, next_pass, (jnp.int32(1), accum_t, logt_t, overflow)
+        )
+
     # (T, TILE*TILE, C) -> (H_pad, W_pad, C) -> crop -> (H*W, C)
     accum_img = (
         accum_t.reshape(tiles_y, tiles_x, TILE, TILE, c_dim)
@@ -475,8 +538,8 @@ def _rasterize_tiled_prefix(
     )
     # harmful-drop counter: overflow only matters in unsaturated tiles (see
     # rasterize_tiled docstring). logt is end-of-list log-transmittance.
-    unsaturated = jnp.max(logt_t, axis=1) > jnp.log(0.02)
-    dropped = jnp.sum(jnp.where(unsaturated, lists.overflow, 0))
+    unsaturated = jnp.max(logt_t, axis=1) > _SATURATED_LOG_T
+    dropped = jnp.sum(jnp.where(unsaturated, overflow, 0))
     return (
         accum_img.reshape(height * width, c_dim),
         logt_img.reshape(height * width),

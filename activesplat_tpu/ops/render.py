@@ -54,6 +54,7 @@ def render_projected(
     chunk: int = 128,
     k_per_tile: int = 0,
     backend: str = "xla",
+    exact: bool = False,
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
@@ -63,7 +64,11 @@ def render_projected(
 
     k_per_tile > 0 selects the tile-binned rasterizer (ops/raster_tiled.py):
     each 16x16 tile composites only its nearest k overlapping Gaussians —
-    the production path; 0 selects the dense chunked rasterizer."""
+    the production path; 0 selects the dense chunked rasterizer.
+
+    exact=True composites uncapped (multi-pass over k-windows until tiles
+    saturate or exhaust — the CUDA reference's dynamic-list semantics) and is
+    FORWARD-ONLY; use it for densify silhouettes, queries and eval."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
 
@@ -87,6 +92,7 @@ def render_projected(
             height=cam.height,
             k_per_tile=k_per_tile,
             backend=backend,
+            max_passes=64 if exact else 1,
         )
     else:
         _, s_valid, s_mean2d, s_conic, s_opacity, s_channels = depth_sort(
@@ -131,6 +137,7 @@ def render(
     active_override: Optional[jnp.ndarray] = None,
     k_per_tile: int = 0,
     backend: str = "xla",
+    exact: bool = False,
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 
@@ -166,9 +173,12 @@ def render(
         chunk=chunk,
         k_per_tile=k_per_tile,
         backend=backend,
+        exact=exact,
     )
 
 
 # Compiled entry point: Camera's width/height are pytree metadata, so one
 # compilation serves all poses/intrinsics at a given resolution.
-render_jit = jax.jit(render, static_argnames=("chunk", "k_per_tile", "backend"))
+render_jit = jax.jit(
+    render, static_argnames=("chunk", "k_per_tile", "backend", "exact")
+)

@@ -146,6 +146,7 @@ def render_sharded_tiled(
     bg: jnp.ndarray | None = None,
     k_per_tile: int = 256,
     backend: str = "xla",
+    exact: bool = False,
 ):
     """Tile-sharded production render: projection/sort replicated (O(N)),
     each device bins + blends its block of tile rows with the tiled
@@ -197,6 +198,7 @@ def render_sharded_tiled(
             height=rows,
             k_per_tile=k_per_tile,
             backend=backend,
+            max_passes=64 if exact else 1,
         )
         t = jnp.exp(log_t)
         rgb = (accum[:, :3] + t[:, None] * bg_rep[None, :]).reshape(

@@ -64,6 +64,9 @@ def _views_impl(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int, scale: float
             chunk=chunk,
             k_per_tile=256 if backend == "pallas" else 0,
             backend=backend,
+            # uncapped alpha: a truncated panorama reads invisibility high,
+            # which would keep the planner revisiting already-mapped space
+            exact=backend == "pallas",
         )
         return out.rgb, out.depth, out.alpha
 

@@ -224,6 +224,8 @@ def _topdown_binary(
     program. Returns (stacked (2, H, W) u8 [free, unobserved], free_alpha
     f32 [left on device])."""
     sliced = _band_mask(buf.params.means3d, height_axis, foot, head)
+    # exact (uncapped) compositing: truncated opacity would mark traversable
+    # space occupied / observed space unobserved for the planner
     free = render_jit(
         buf,
         cam,
@@ -232,6 +234,7 @@ def _topdown_binary(
         active_override=sliced,
         k_per_tile=k_per_tile,
         backend=backend,
+        exact=k_per_tile > 0,
     )
     full = render_jit(
         buf,
@@ -241,6 +244,7 @@ def _topdown_binary(
         chunk=chunk,
         k_per_tile=k_per_tile,
         backend=backend,
+        exact=k_per_tile > 0,
     )
     free_u8 = (free.alpha <= FREE_OPACITY_THRESHOLD).astype(jnp.uint8)
     # uint8 TRUNCATION (the reference's .astype(np.uint8) cast) + grayscale,

@@ -92,6 +92,49 @@ def test_k_cap_drops_far_gaussians(rng):
     assert int(dropped) > 0
 
 
+def test_exact_multipass_matches_dense(rng):
+    """max_passes > 1 must reproduce the UNCAPPED (dense) blend exactly even
+    with a tiny per-pass window — the CUDA reference's dynamic-list
+    semantics — and report zero harmful drops."""
+    scene = random_scene(rng, 160)
+    proj, opac, channels = project_scene(scene)
+    accum_d, logt_d = dense_reference(proj, opac, channels, chunk=32)
+    big_radius = jnp.full_like(proj.radius, float(max(W, H) * 2))
+    accum_e, logt_e, dropped = rasterize_tiled(
+        proj.mean2d, proj.conic, opac, channels, proj.valid,
+        big_radius, proj.depth,
+        width=W, height=H, k_per_tile=16, max_passes=64,
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(accum_e), np.asarray(accum_d), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logt_e), np.asarray(logt_d), atol=2e-5)
+    # the pallas blend composes identically across passes (interpret on CPU)
+    accum_p, logt_p, dropped_p = rasterize_tiled(
+        proj.mean2d, proj.conic, opac, channels, proj.valid,
+        big_radius, proj.depth,
+        width=W, height=H, k_per_tile=64, max_passes=64, backend="pallas",
+    )
+    assert int(dropped_p) == 0
+    np.testing.assert_allclose(np.asarray(accum_p), np.asarray(accum_d), atol=5e-3)
+
+
+def test_exact_multipass_saturation_early_exit(rng):
+    """Saturated tiles stop the pass loop: an opaque near wall in front of a
+    far cluster needs exactly the near content — the result must equal the
+    single-pass capped render wherever the wall saturates, and the exact
+    flag must not change a scene with no overflow at all."""
+    scene = random_scene(rng, 60)
+    proj, opac, channels = project_scene(scene)
+    a1, l1, d1 = run_tiled(proj, opac, channels, k=128)
+    a2, l2, d2 = rasterize_tiled(
+        proj.mean2d, proj.conic, opac, channels, proj.valid,
+        proj.radius, proj.depth,
+        width=W, height=H, k_per_tile=128, max_passes=64,
+    )
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=1e-6)
+
+
 def test_bin_gaussians_membership(rng):
     # one gaussian squarely inside one tile
     mean2d = jnp.array([[24.0, 24.0], [100.0, 100.0]])
