@@ -116,11 +116,11 @@ def bin_gaussians(
     nb = n_pad // blk
     counts_yx = jnp.einsum(
         "nky,nkx->nyx",
-        in_y.reshape(nb, blk, tiles_y).astype(jnp.bfloat16),
-        in_x.reshape(nb, blk, tiles_x).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (nb, ty, tx) exact integer counts
-    block_counts = counts_yx.reshape(nb, t).T.astype(jnp.int32)  # (T, nb)
+        in_y.reshape(nb, blk, tiles_y).astype(jnp.int8),
+        in_x.reshape(nb, blk, tiles_x).astype(jnp.int8),
+        preferred_element_type=jnp.int32,
+    )  # (nb, ty, tx) exact integer counts (int8 MXU runs at 2x bf16 rate)
+    block_counts = counts_yx.reshape(nb, t).T  # (T, nb)
 
     # byte-packed per-gaussian AABB (tile grids are <= 256 wide: 4096 px)
     packed_aabb = (
