@@ -107,6 +107,11 @@ class SplaTAMMapper:
 
         self.tracking_idx = 0
         self.mapping_idx: Optional[int] = None
+        # Bumped whenever the Gaussian buffer changes; map-query consumers
+        # (get_topdown) key their render caches on it — the reference only
+        # re-renders topdown maps when a fresh GaussianPacket arrives
+        # (visualizer.py:926-939), not per planner tick.
+        self.map_version = 0
         self.scene_radius: float = 1.0
         self.est_c2w: List[np.ndarray] = []
         self.gt_w2c_rel: List[np.ndarray] = []  # gradslam-convention relative w2c
@@ -230,6 +235,8 @@ class SplaTAMMapper:
 
     def _mapping(self, batch: Dict[str, np.ndarray], frame_id: int) -> None:
         t_frame = time.time()
+        buf_before = self.buf  # pytree updates replace the object: identity
+        # change at the end of the frame == the map changed (see map_version)
         rgb = np.asarray(batch["rgb"], np.float32)
         depth = np.asarray(batch["depth"], np.float32)
         c2w = np.asarray(batch["c2w"], np.float64)
@@ -397,6 +404,8 @@ class SplaTAMMapper:
             ckpt_dir = os.path.join(self.results_dir, "gaussians_data", "checkpoints")
             self.save_checkpoint(ckpt_dir, frame_id)
 
+        if self.buf is not buf_before:
+            self.map_version += 1
         self.mapping_frame_time_sum += time.time() - t_frame
         self.mapping_frame_time_count += 1
 

@@ -352,3 +352,117 @@ def blend_tiles_pallas(tile_data, tile_u0, tile_v0, n_channels=5, interpret=Fals
     return _blend_fwd_pallas(
         tile_data, tile_u0, tile_v0, n_channels, interpret, with_entry=False
     )
+
+
+# --------------------------------------------------------------------------- #
+# CSR (exact, uncapped) segmented blend
+#
+# The dense (T, K) layout above walks every tile's full K window each
+# multi-pass round, so an exact render of a skewed membership distribution
+# (end-of-episode topdown: median tile ~3k members, wall tiles ~56k) costs
+# T x K x passes. The CSR layout walks each tile's ACTUAL list once: entries
+# are the depth-sorted memberships of all tiles concatenated (each tile's run
+# padded to a CSEG multiple so every segment belongs to exactly one tile),
+# and the kernel streams segments in grid order, accumulating into the
+# per-tile output block selected by a prefetched segment->tile map. Work is
+# O(total memberships), the CUDA reference's duplicate-and-sort semantics
+# (diff-gaussian-rasterization forward) on the MXU/VPU.
+# --------------------------------------------------------------------------- #
+
+CSEG = 256  # entries per CSR grid step (per-tile runs are CSEG-aligned)
+
+
+def _blend_csr_kernel(seg_tile_ref, seg_u0_ref, seg_v0_ref, data_ref,
+                      accum_ref, logt_ref):
+    s = pl.program_id(0)
+    tile = seg_tile_ref[s]
+    prev_tile = seg_tile_ref[jnp.maximum(s - 1, 0)]
+    first = (s == 0) | (tile != prev_tile)
+
+    # consecutive segments of one tile revisit the same output block (the
+    # index map repeats), so it stays resident in VMEM; on first visit the
+    # fetched block holds garbage and must be zeroed
+    @pl.when(first)
+    def _init():
+        accum_ref[0] = jnp.zeros((PX, 8), jnp.float32)
+        logt_ref[0] = jnp.zeros((1, PX), jnp.float32)
+
+    u0 = seg_u0_ref[s]
+    v0 = seg_v0_ref[s]
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (u0 + local % TILE).astype(jnp.float32)
+    py = (v0 + local // TILE).astype(jnp.float32)
+
+    logt = logt_ref[0]  # (1, PX)
+    saturated = jnp.max(logt) < LOG_EPS
+
+    @pl.when(jnp.logical_not(saturated))
+    def _compute():
+        block = data_ref[...]  # (CSEG, N_ATTR)
+        mx = block[:, 0:1]
+        my = block[:, 1:2]
+        ca = block[:, 2:3]
+        cb = block[:, 3:4]
+        cc = block[:, 4:5]
+        op = block[:, 5:6]
+        dx = mx - px  # (CSEG, PX)
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(op * jnp.exp(power), ALPHA_MAX)
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+        logs = jnp.log1p(-alpha)
+        cum = _prefix_scan_inclusive(logs)
+        weight = alpha * jnp.exp(cum - logs + logt)  # (CSEG, PX)
+        colors = block[:, 6:14]  # (CSEG, 8)
+        contrib = jax.lax.dot_general(
+            weight,
+            colors,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (PX, 8)
+        accum_ref[0] = accum_ref[0] + contrib
+        logt_ref[0] = logt + cum[-1:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "n_channels", "interpret")
+)
+def blend_csr_pallas(
+    entry_data: jnp.ndarray,  # (E, N_ATTR) f32, E % CSEG == 0
+    seg_tile: jnp.ndarray,  # (E // CSEG,) int32 in [0, n_tiles]; n_tiles = pad
+    seg_u0: jnp.ndarray,  # (E // CSEG,) int32 tile origin x
+    seg_v0: jnp.ndarray,
+    n_tiles: int,
+    n_channels: int = 5,
+    interpret: bool = False,
+):
+    """Forward-only exact blend over CSR tile runs. Segments of a tile must
+    be consecutive and runs CSEG-aligned; segment n_tiles is the discard
+    target for padding past the last run. Returns (accum (n_tiles, PX,
+    n_channels), log_transmittance (n_tiles, PX)); blocks of tiles with no
+    segments hold GARBAGE — callers mask with their per-tile counts."""
+    e_tot, n_attr = entry_data.shape
+    assert n_attr == N_ATTR and e_tot % CSEG == 0, (e_tot, n_attr)
+    n_seg = e_tot // CSEG
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((CSEG, N_ATTR), lambda s, st, su, sv: (s, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PX, 8), lambda s, st, su, sv: (st[s], 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda s, st, su, sv: (st[s], 0, 0)),
+        ],
+    )
+    accum, logt = pl.pallas_call(
+        _blend_csr_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles + 1, PX, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 1, PX), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seg_tile, seg_u0, seg_v0, entry_data)
+    return accum[:n_tiles, :, :n_channels], logt[:n_tiles, 0, :]

@@ -525,7 +525,23 @@ def _rasterize_tiled_prefix(
             needs_more, next_pass, (jnp.int32(1), accum_t, logt_t, overflow)
         )
 
-    # (T, TILE*TILE, C) -> (H_pad, W_pad, C) -> crop -> (H*W, C)
+    accum_img, logt_img = _tiles_to_image(
+        accum_t, logt_t, tiles_x, tiles_y, width, height
+    )
+    # harmful-drop counter: overflow only matters in unsaturated tiles (see
+    # rasterize_tiled docstring). logt is end-of-list log-transmittance.
+    unsaturated = jnp.max(logt_t, axis=1) > _SATURATED_LOG_T
+    dropped = jnp.sum(jnp.where(unsaturated, overflow, 0))
+    return (
+        accum_img.reshape(height * width, c_dim),
+        logt_img.reshape(height * width),
+        jax.lax.stop_gradient(dropped),
+    )
+
+
+def _tiles_to_image(accum_t, logt_t, tiles_x, tiles_y, width, height):
+    """(T, TILE*TILE, C)/(T, TILE*TILE) tile blocks -> cropped images."""
+    c_dim = accum_t.shape[-1]
     accum_img = (
         accum_t.reshape(tiles_y, tiles_x, TILE, TILE, c_dim)
         .transpose(0, 2, 1, 3, 4)
@@ -536,12 +552,233 @@ def _rasterize_tiled_prefix(
         .transpose(0, 2, 1, 3)
         .reshape(tiles_y * TILE, tiles_x * TILE)[:height, :width]
     )
-    # harmful-drop counter: overflow only matters in unsaturated tiles (see
-    # rasterize_tiled docstring). logt is end-of-list log-transmittance.
-    unsaturated = jnp.max(logt_t, axis=1) > _SATURATED_LOG_T
-    dropped = jnp.sum(jnp.where(unsaturated, overflow, 0))
+    return accum_img, logt_img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "entry_budget", "interpret"),
+)
+def rasterize_tiled_exact(
+    mean2d: jnp.ndarray,  # (N, 2) UNSORTED (projection order)
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    colors: jnp.ndarray,  # (N, C)
+    valid: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,  # (N,)
+    *,
+    width: int,
+    height: int,
+    entry_budget: int = 0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact (uncapped) forward-only tile compositing in CSR layout.
+
+    The multi-pass exact path (rasterize_tiled max_passes>1) re-bins and
+    re-blends EVERY tile's k-window each round, so its cost is
+    T x k x max_tile_members/k — quadratic pain under the skewed membership
+    distributions of converged maps (end-of-episode topdown: wall tiles hold
+    ~56k members while the median tile has ~3k; measured 150-220 rounds).
+    This path is the CUDA reference's duplicate-and-sort forward
+    (diff-gaussian-rasterization) rebuilt TPU-style: work and memory are
+    O(total memberships).
+
+      1. depth-sort Gaussians once (multi-operand lax.sort, as the k-capped
+         path does);
+      2. expand to one entry per (gaussian, touched tile) WITHOUT a span
+         cap: entry slots are allocated by a cumsum over per-Gaussian AABB
+         tile areas, and the entry->gaussian inverse map is a scatter of
+         ones at each Gaussian's first slot + a cumsum — no searchsorted,
+         no (T, N) matrix;
+      3. stable-sort entries by tile id (depth order preserved within each
+         tile), with per-tile padding entries so every run is CSEG-aligned;
+      4. gather entry attribute rows once and stream them through the
+         segmented Pallas blend (blend_csr_pallas), which accumulates into
+         each tile's output block with early termination on saturation.
+
+    Returns (accum (H*W, C), log_transmittance (H*W,), dropped ()) where
+    `dropped` counts memberships past `entry_budget` (the deepest entries of
+    the whole render; callers escalate the budget when nonzero).
+
+    entry_budget = 0 picks 4 * N entries (topdown at 877k Gaussians measures
+    ~2 memberships per Gaussian; perspective views frustum-cull most of the
+    map but carry larger per-splat spans — ~3 in the parity tests).
+    """
+    from activesplat_tpu.ops.raster_pallas import CSEG, N_ATTR
+
+    n = mean2d.shape[0]
+    c_dim = colors.shape[-1]
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    t = tiles_x * tiles_y
+    if entry_budget <= 0:
+        entry_budget = 4 * n
+    e = -(-entry_budget // CSEG) * CSEG
+
+    sg = jax.lax.stop_gradient
+    mean2d = sg(mean2d)
+    conic = sg(conic)
+    opacity = sg(opacity)
+    colors = sg(colors)
+    radius = sg(radius)
+    depth = sg(depth)
+
+    # ---- 1. depth sort (same packed-operand trick as the k-capped path) ----
+    key = jnp.where(valid, depth, jnp.inf)
+    scale = 8.0
+    lim = float(2**15 - 2)
+    qx = jnp.clip(jnp.round(mean2d[:, 0] * scale), -lim, lim).astype(jnp.int32)
+    qy = jnp.clip(jnp.round(mean2d[:, 1] * scale), -lim, lim).astype(jnp.int32)
+    packed_xy = (qx << 16) | (qy & 0xFFFF)
+    val_rad = jnp.where(valid, radius, -1.0)
+    _, s_xy, s_vr, order = jax.lax.sort(
+        (key, packed_xy, val_rad, jnp.arange(n, dtype=jnp.int32)),
+        dimension=0,
+        num_keys=1,
+    )
+    s_mx = (s_xy >> 16).astype(jnp.float32) / scale
+    s_my = (((s_xy & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32) / scale
+    s_val = s_vr >= 0.0
+    s_rad = jnp.maximum(s_vr, 0.0) + 2.0 / scale
+
+    # ---- 2. AABBs + per-tile totals (counting matmul) ----
+    inside = (
+        (s_mx + s_rad >= 0.0)
+        & (s_mx - s_rad < tiles_x * TILE)
+        & (s_my + s_rad >= 0.0)
+        & (s_my - s_rad < tiles_y * TILE)
+    )
+    s_val = s_val & inside
+    tx0 = jnp.clip(jnp.floor((s_mx - s_rad) / TILE), 0, tiles_x - 1).astype(
+        jnp.int32
+    )
+    tx1 = jnp.clip(jnp.floor((s_mx + s_rad) / TILE), 0, tiles_x - 1).astype(
+        jnp.int32
+    )
+    ty0 = jnp.clip(jnp.floor((s_my - s_rad) / TILE), 0, tiles_y - 1).astype(
+        jnp.int32
+    )
+    ty1 = jnp.clip(jnp.floor((s_my + s_rad) / TILE), 0, tiles_y - 1).astype(
+        jnp.int32
+    )
+    w_g = tx1 - tx0 + 1
+    h_g = ty1 - ty0 + 1
+    span = jnp.where(s_val, w_g * h_g, 0)
+
+    # budget cut at GAUSSIAN granularity: a partially-expanded Gaussian would
+    # leave some tiles' runs short of their counted length, breaking the
+    # CSEG alignment the blend kernel relies on
+    g_off = jnp.cumsum(span) - span  # exclusive (N,)
+    m_total = g_off[-1] + span[-1]
+    kept = (g_off + span) <= e
+    s_val = s_val & kept
+    m_kept = jnp.max(jnp.where(kept, g_off + span, 0))
+
+    tile_col = jnp.arange(tiles_x, dtype=jnp.int32)
+    tile_row = jnp.arange(tiles_y, dtype=jnp.int32)
+    in_x = (
+        (tile_col[None, :] >= tx0[:, None])
+        & (tile_col[None, :] <= tx1[:, None])
+        & s_val[:, None]
+    )
+    in_y = (tile_row[None, :] >= ty0[:, None]) & (tile_row[None, :] <= ty1[:, None])
+    count_full = jnp.einsum(
+        "ny,nx->yx",
+        in_y.astype(jnp.int8),
+        in_x.astype(jnp.int8),
+        preferred_element_type=jnp.int32,
+    ).reshape(t)
+
+    # ---- 3. entry -> (gaussian, tile) inverse map ----
+    e_idx = jnp.arange(e, dtype=jnp.int32)
+    marks = jnp.zeros((e,), jnp.int32).at[g_off].add(1, mode="drop")
+    gid = jnp.cumsum(marks) - 1  # (E,) owning sorted-gaussian id
+    is_first = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_first, e_idx, 0))
+    local = e_idx - run_start
+    # per-gaussian AABB byte-pack: one scalar gather per entry
+    pga = (tx0 << 16) | (ty0 << 8) | (w_g - 1)
+    pv = pga[gid]
+    ew = (pv & 0xFF) + 1
+    dx = local % ew
+    dy = local // ew
+    tile_of = ((pv >> 8) & 0xFF) * tiles_x + dy * tiles_x + ((pv >> 16) & 0xFF) + dx
+    valid_entry = e_idx < m_kept
+    entry_key = jnp.where(valid_entry, tile_of, t)
+
+    # ---- 4. per-tile CSEG-alignment padding entries ----
+    pad_needed = (-count_full) % CSEG  # (T,)
+    pj = jnp.arange(CSEG - 1, dtype=jnp.int32)
+    pad_key = jnp.where(
+        pj[None, :] < pad_needed[:, None],
+        jnp.arange(t, dtype=jnp.int32)[:, None],
+        t,
+    ).reshape(-1)
+
+    keys_all = jnp.concatenate([entry_key, pad_key])
+    gid_all = jnp.concatenate(
+        [jnp.where(valid_entry, gid, n), jnp.full(pad_key.shape, n, jnp.int32)]
+    )
+    e_tot = -(-keys_all.shape[0] // CSEG) * CSEG
+    if e_tot != keys_all.shape[0]:
+        extra = e_tot - keys_all.shape[0]
+        keys_all = jnp.concatenate([keys_all, jnp.full((extra,), t, jnp.int32)])
+        gid_all = jnp.concatenate([gid_all, jnp.full((extra,), n, jnp.int32)])
+    sorted_key, sorted_gid = jax.lax.sort(
+        (keys_all, gid_all), dimension=0, is_stable=True, num_keys=1
+    )
+
+    # ---- 5. attribute rows + segmented blend ----
+    data = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], colors], -1
+    )  # (N, 6 + C)
+    pad_row = jnp.concatenate(
+        [
+            jnp.full((1, 2), -1e9, data.dtype),
+            jnp.ones((1, 3), data.dtype),
+            jnp.zeros((1, 1 + c_dim), data.dtype),
+        ],
+        -1,
+    )
+    pad_data = jnp.concatenate([data, pad_row], 0)
+    global_ids = jnp.where(
+        sorted_gid >= n, n, order[jnp.minimum(sorted_gid, n - 1)]
+    )
+    entry_data = jnp.pad(
+        pad_data[global_ids], ((0, 0), (0, N_ATTR - 6 - c_dim))
+    )  # (E_tot, N_ATTR)
+
+    # segment -> tile map derived from the (padded) per-tile counts with the
+    # same scatter+cumsum inverse-map trick — a strided slice of sorted_key
+    # (sorted_key[::CSEG]) measures 26 ms at 4M entries, this is ~1 ms
+    n_seg = e_tot // CSEG
+    seg_counts = (count_full + pad_needed) // CSEG  # (T,)
+    seg_starts = jnp.cumsum(seg_counts) - seg_counts
+    seg_marks = jnp.zeros((n_seg,), jnp.int32).at[seg_starts].add(1, mode="drop")
+    seg_of = jnp.cumsum(seg_marks) - 1
+    s_used = jnp.sum(seg_counts)
+    seg_tile = jnp.where(jnp.arange(n_seg) < s_used, seg_of, t)
+    in_grid = seg_tile < t
+    seg_u0 = jnp.where(in_grid, (seg_tile % tiles_x) * TILE, 0)
+    seg_v0 = jnp.where(in_grid, (seg_tile // tiles_x) * TILE, 0)
+
+    from activesplat_tpu.ops.raster_pallas import blend_csr_pallas
+
+    accum_t, logt_t = blend_csr_pallas(
+        entry_data, seg_tile, seg_u0, seg_v0, t, c_dim, interpret
+    )
+    # tiles with no entries are never visited by the kernel: mask garbage
+    visited = count_full > 0
+    accum_t = jnp.where(visited[:, None, None], accum_t, 0.0)
+    logt_t = jnp.where(visited[:, None], logt_t, 0.0)
+
+    accum_img, logt_img = _tiles_to_image(
+        accum_t, logt_t, tiles_x, tiles_y, width, height
+    )
+    dropped = m_total - m_kept
     return (
         accum_img.reshape(height * width, c_dim),
         logt_img.reshape(height * width),
-        jax.lax.stop_gradient(dropped),
+        dropped,
     )

@@ -77,7 +77,26 @@ def render_projected(
         [rgb, depth_ch[:, None], (depth_ch * depth_ch)[:, None]], axis=-1
     )  # (C, 5)
 
-    if k_per_tile > 0:
+    if k_per_tile > 0 and exact and backend == "pallas":
+        # exact forward-only renders take the CSR single-walk path: cost is
+        # O(total tile memberships) instead of the multi-pass dense walk
+        # (T x k x passes), which degrades badly on converged maps whose
+        # membership distribution is skewed (see rasterize_tiled_exact)
+        from activesplat_tpu.ops.raster_tiled import rasterize_tiled_exact
+
+        accum, log_t, dropped = rasterize_tiled_exact(
+            proj.mean2d,
+            proj.conic,
+            opacities,
+            channels,
+            proj.valid,
+            proj.radius,
+            proj.depth,
+            width=cam.width,
+            height=cam.height,
+            interpret=jax.default_backend() != "tpu",
+        )
+    elif k_per_tile > 0:
         from activesplat_tpu.ops.raster_tiled import rasterize_tiled
 
         accum, log_t, dropped = rasterize_tiled(

@@ -70,7 +70,10 @@ def _views_impl(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int, scale: float
         )
         return out.rgb, out.depth, out.alpha
 
-    return jax.vmap(one)(w2cs)
+    # lax.map, not vmap: views on one device render sequentially either way,
+    # map compiles the body once, and the exact CSR raster (a pallas_call
+    # with prefetched index maps) composes with scan but not with batching
+    return jax.lax.map(one, w2cs)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "scale"))

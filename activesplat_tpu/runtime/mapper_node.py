@@ -83,6 +83,7 @@ class MapperNode:
             height_axis=1,
         )
         self.movement_fail_times = 0
+        self._topdown_cache: Optional[tuple] = None  # (map_version, free, unobs)
         self.last_frame: Optional[Dict[str, np.ndarray]] = frame0
         self._finished = False
         self.recorder = None
@@ -231,14 +232,24 @@ class MapperNode:
     def _get_topdown(self, arrived_flag: bool) -> Optional[Dict]:
         if self.global_state == GlobalState.QUIT:
             return None
-        with stage("queries/topdown"):
-            free_binary, unobserved_binary, _ = render_topdown(
-                self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
-            )
-        if self.recorder is not None:
-            self.recorder.save_topdown(free_binary, unobserved_binary)
-        if self.live_view is not None:
-            self.live_view.update_topdown(free_binary, unobserved_binary)
+        # Re-render only when the map actually changed: the reference's
+        # UpdateMain re-renders topdown on fresh GaussianPackets and the
+        # service hands back the latest maps (visualizer.py:926-976); the
+        # planner polls every navigation tick but mapping only mutates the
+        # buffer on map_every frames.
+        ver = self.mapper.map_version
+        if self._topdown_cache is not None and self._topdown_cache[0] == ver:
+            free_binary, unobserved_binary = self._topdown_cache[1:]
+        else:
+            with stage("queries/topdown"):
+                free_binary, unobserved_binary, _ = render_topdown(
+                    self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
+                )
+            self._topdown_cache = (ver, free_binary, unobserved_binary)
+            if self.recorder is not None:
+                self.recorder.save_topdown(free_binary, unobserved_binary)
+            if self.live_view is not None:
+                self.live_view.update_topdown(free_binary, unobserved_binary)
         response = {
             "free_map": free_binary,
             "visible_map": unobserved_binary,

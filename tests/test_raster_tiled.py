@@ -228,3 +228,90 @@ def test_bin_three_level_matches_oracle(rng):
         assert int(lists.count[t]) == min(len(members), k), t
         got = np.asarray(lists.indices[t][: min(len(members), k)])
         np.testing.assert_array_equal(got, members[:k], err_msg=f"tile {t}")
+
+
+# --------------------------------------------------------------------------- #
+# CSR exact raster (rasterize_tiled_exact): the single-walk forward path for
+# uncapped renders (queries/densify/eval). Interpret-mode pallas on CPU.
+# --------------------------------------------------------------------------- #
+
+from activesplat_tpu.ops.raster_tiled import rasterize_tiled_exact
+
+
+def run_csr(proj, opac, channels, radius=None, entry_budget=0):
+    radius = proj.radius if radius is None else radius
+    return rasterize_tiled_exact(
+        proj.mean2d,
+        proj.conic,
+        opac,
+        channels,
+        proj.valid,
+        radius,
+        proj.depth,
+        width=W,
+        height=H,
+        entry_budget=entry_budget,
+        interpret=True,
+    )
+
+
+def test_csr_exact_matches_dense(rng):
+    """Whole-frame radii force every Gaussian into every tile (heavy
+    overflow for the capped path): the CSR walk must reproduce the dense
+    blend exactly."""
+    scene = random_scene(rng, 160)
+    proj, opac, channels = project_scene(scene)
+    accum_d, logt_d = dense_reference(proj, opac, channels, chunk=32)
+    big_radius = jnp.full_like(proj.radius, float(max(W, H) * 2))
+    # 12 tiles x 160 gaussians memberships: needs more than the default 3N
+    accum_c, logt_c, dropped = run_csr(
+        proj, opac, channels, big_radius, entry_budget=2048
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(accum_c), np.asarray(accum_d), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(logt_c), np.asarray(logt_d), atol=5e-3)
+
+
+def test_csr_exact_matches_multipass_real_radii(rng):
+    """With true 3-sigma radii (skewed per-tile memberships) the CSR walk
+    equals the multi-pass exact XLA path bit-for-near-bit."""
+    scene = random_scene(rng, 300)
+    proj, opac, channels = project_scene(scene)
+    accum_e, logt_e, de = rasterize_tiled(
+        proj.mean2d, proj.conic, opac, channels, proj.valid,
+        proj.radius, proj.depth,
+        width=W, height=H, k_per_tile=16, max_passes=64,
+    )
+    accum_c, logt_c, dc = run_csr(proj, opac, channels)
+    assert int(de) == 0 and int(dc) == 0
+    np.testing.assert_allclose(np.asarray(accum_c), np.asarray(accum_e), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(logt_c), np.asarray(logt_e), atol=5e-3)
+
+
+def test_csr_empty_scene():
+    """No valid Gaussians: zero accumulation, unit transmittance, no drops,
+    and no NaNs from the all-sentinel sort."""
+    n = 32
+    proj_mean = jnp.zeros((n, 2))
+    accum, logt, dropped = rasterize_tiled_exact(
+        proj_mean, jnp.ones((n, 3)), jnp.zeros((n,)), jnp.zeros((n, 5)),
+        jnp.zeros((n,), bool), jnp.zeros((n,)), jnp.ones((n,)),
+        width=W, height=H, interpret=True,
+    )
+    assert int(dropped) == 0
+    assert np.all(np.asarray(accum) == 0.0)
+    assert np.all(np.asarray(logt) == 0.0)
+
+
+def test_csr_budget_truncation_reports_drops(rng):
+    """An entry budget below the real membership total must (a) report the
+    shortfall and (b) still blend the kept front-to-back prefix correctly
+    (the cut happens at whole-Gaussian granularity, deepest first)."""
+    scene = random_scene(rng, 200)
+    proj, opac, channels = project_scene(scene)
+    accum_f, logt_f, d0 = run_csr(proj, opac, channels)
+    assert int(d0) == 0
+    accum_t, logt_t, d1 = run_csr(proj, opac, channels, entry_budget=256)
+    assert int(d1) > 0
+    # truncation keeps the nearest gaussians: transmittance can only rise
+    assert np.all(np.asarray(logt_t) >= np.asarray(logt_f) - 1e-5)
