@@ -106,6 +106,14 @@ class MapperConfig:
     k_per_tile_max: int = 1024
     k_overflow_tolerance: int = 0
     k_overflow_patience: int = 3
+    # Online progress PSNR/depth-L1 from an exact (uncapped) re-render of the
+    # current frame rather than the k-truncated training render. The training
+    # render reads up to ~8 dB low on dense maps at the k ceiling (harmful
+    # truncations zero out far splats), while the reference's report_progress
+    # renders with its uncapped CUDA rasterizer (eval_helpers.py:153-277).
+    # Costs one forward render per mapping frame (~0.3 s at 900k Gaussians);
+    # the truncated value is kept alongside as psnr_train/depth_l1_train.
+    exact_online_metrics: bool = True
     # multi-chip: shard training renders over whole tile rows of a 1D device
     # mesh when >1 device is visible (parallel/sharded.py; the mapper builds
     # the largest mesh dividing the image height). Off by default: the bench

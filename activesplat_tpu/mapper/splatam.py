@@ -358,6 +358,24 @@ class SplaTAMMapper:
                 "depth_l1": float(np.asarray(metrics["depth_l1"])[-1]),
                 "dropped": int(np.max(np.asarray(metrics["dropped"]))),
             }
+            if self.cfg.exact_online_metrics and self.cfg.k_per_tile > 0:
+                # Honest progress numbers: the k-truncated training render
+                # reads low once dense tiles overflow (see MapperConfig.
+                # exact_online_metrics); report from the exact render like
+                # the reference's report_progress (eval_helpers.py:153-277).
+                from activesplat_tpu.eval.metrics import depth_metrics
+                from activesplat_tpu.eval.metrics import psnr as psnr_np
+
+                ex_rgb, ex_depth = self.render_rgbd_float(cam)
+                l1, _ = depth_metrics(ex_depth, np.asarray(depth))
+                self.last_metrics["psnr_train"] = self.last_metrics["psnr"]
+                self.last_metrics["depth_l1_train"] = self.last_metrics[
+                    "depth_l1"
+                ]
+                self.last_metrics["psnr"] = psnr_np(
+                    ex_rgb, np.clip(np.asarray(rgb, np.float32), 0.0, 1.0)
+                )
+                self.last_metrics["depth_l1"] = l1
             self._check_tile_overflow(self.last_metrics["dropped"], frame_id)
             # online progress record (role of report_progress + the
             # online_psnr.txt summaries, eval_helpers.py:153-277, 370-402)
@@ -571,9 +589,17 @@ class SplaTAMMapper:
         """Render the map from a pose: (rgb uint8 (H,W,3), depth meters (H,W))
         (render_rgbd semantics, splatam/__init__.py:604-632; white bg for the
         color channel as in render(), splatam.py:413-434)."""
+        rgb, depth = self.render_rgbd_float(
+            self._camera(np.linalg.inv(c2w)), scale_modifier
+        )
+        return (rgb * 255).astype(np.uint8), depth
+
+    def render_rgbd_float(self, cam: Camera, scale_modifier: float = 1.0):
+        """Exact render from an already-built Camera: (rgb float (H,W,3) in
+        [0,1], depth meters (H,W)). Float flavor of render_rgbd for metric
+        consumers (exact_online_metrics)."""
         from activesplat_tpu.ops.render import forward_backend
 
-        cam = self._camera(np.linalg.inv(c2w))
         out = render_jit(
             self.buf,
             cam,
@@ -584,8 +610,10 @@ class SplaTAMMapper:
             backend=forward_backend(),
             exact=self.cfg.k_per_tile > 0,
         )
-        rgb = (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
-        return rgb, np.asarray(out.depth)
+        return (
+            np.clip(np.asarray(out.rgb), 0.0, 1.0),
+            np.asarray(out.depth),
+        )
 
     def render_view(
         self, cam: Camera, scale_modifier: float = 1.0

@@ -18,6 +18,7 @@ Knobs via env:
   EP_PRUNE    1 = prune_gaussians on      (default 0)
   EP_K        starting k_per_tile         (default 256)
   EP_KMAX     k_per_tile ceiling          (default 1024)
+  EP_EXACT_ONLINE 1 = online PSNR/depth from exact renders (default 1)
   EP_STRIDE   eval frame stride           (default 10)
 """
 
@@ -59,6 +60,7 @@ def main():
         prune_gaussians=bool(int(os.environ.get("EP_PRUNE", 0))),
         k_per_tile=int(os.environ.get("EP_K", 256)),
         k_per_tile_max=int(os.environ.get("EP_KMAX", 1024)),
+        exact_online_metrics=bool(int(os.environ.get("EP_EXACT_ONLINE", 1))),
     )
     knobs = {
         "steps": steps, "scene": f"{scene}-{seed}", "res": res,

@@ -189,3 +189,54 @@ def test_no_escalation_without_overflow():
     run_frames(mapper, n_frames=1)
     assert mapper.last_metrics["dropped"] == 0
     assert mapper.cfg.k_per_tile == 1024
+
+
+def test_exact_online_metrics_beat_truncated_train_psnr():
+    """With harmful truncation in the training render, the online progress
+    record must come from the exact (uncapped) render: psnr > psnr_train,
+    and the truncated values are kept alongside (MapperConfig.
+    exact_online_metrics; reference report_progress renders uncapped,
+    eval_helpers.py:153-277)."""
+    cfg = MapperConfig(
+        initial_capacity=1 << 11,
+        max_capacity=1 << 12,
+        keyframe_capacity=8,
+        map_every=1,
+        kf_every=1,
+        mapping_iters=1,
+        mapping_window_size=4,
+        chunk=64,
+        kf_select_pixels=64,
+        k_per_tile=16,
+        k_per_tile_max=16,  # pinned at the ceiling: truncation persists
+        k_overflow_patience=1000,
+    )
+    mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
+    run_frames(mapper, n_frames=3)
+    m = mapper.last_metrics
+    assert m["dropped"] > 0  # harmful truncation present
+    assert "psnr_train" in m and "depth_l1_train" in m
+    # the exact render composites the splats the capped training lists drop
+    assert m["psnr"] > m["psnr_train"], m
+    assert np.isfinite(m["depth_l1"])
+
+
+def test_exact_online_metrics_off_keeps_training_record():
+    cfg = MapperConfig(
+        initial_capacity=1 << 11,
+        max_capacity=1 << 12,
+        keyframe_capacity=8,
+        map_every=1,
+        kf_every=1,
+        mapping_iters=1,
+        mapping_window_size=4,
+        chunk=64,
+        kf_select_pixels=64,
+        k_per_tile=16,
+        k_per_tile_max=16,
+        k_overflow_patience=1000,
+        exact_online_metrics=False,
+    )
+    mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
+    run_frames(mapper, n_frames=2)
+    assert "psnr_train" not in mapper.last_metrics
