@@ -26,7 +26,7 @@ __version__ = "0.1.0"
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache, on by default.
+    """Persistent XLA compilation cache, on by default for TPU platforms.
 
     This host compiles on one CPU core: a 1M-capacity mapping program takes
     30-120 s, and an exploration episode recompiles its whole program set at
@@ -35,10 +35,21 @@ def _enable_compile_cache() -> None:
     cache). The cache amortizes those within a run (re-entering a bucket)
     and across runs/benches. Opt out with ACTIVESPLAT_NO_COMPILE_CACHE=1
     or point ACTIVESPLAT_COMPILE_CACHE at a different directory.
+
+    CPU is deliberately NOT cached: XLA:CPU persists AOT executables whose
+    recorded machine features don't round-trip on this host (the loader
+    warns "could lead to execution errors such as SIGILL"), and a cached
+    cross-process reload segfaulted the CPU test suite once. TPU programs
+    are serialized HLO-level and don't have that hazard.
     """
     import os
 
     if os.environ.get("ACTIVESPLAT_NO_COMPILE_CACHE"):
+        return
+    # Enable only when JAX is explicitly pointed at a TPU-ish platform
+    # (this environment tunnels a TPU via JAX_PLATFORMS=axon).
+    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    if not any(p in platforms for p in ("tpu", "axon")):
         return
     path = os.environ.get(
         "ACTIVESPLAT_COMPILE_CACHE",

@@ -1,11 +1,15 @@
 """LPIPS(alex) JAX implementation vs a torch oracle built from the SAME
 random weights (pretrained weights are not downloadable here; the pipeline
-math is what these tests pin down)."""
+math is what these tests pin down).
+
+torch is imported lazily (function scope) and conftest orders this module's
+tests LAST: torch and jaxlib each bundle their own LLVM, and loading torch
+before the suite's XLA:CPU compiles intermittently segfaulted the compiler
+(`backend_compile_and_load`). Keeping torch out of the process until every
+other module has compiled removes that interaction."""
 
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
 
 from activesplat_tpu.eval import lpips_jax
 
@@ -25,6 +29,8 @@ def make_weights(rng):
 
 def torch_lpips(img_a, img_b, weights):
     """Oracle: the exact LPIPS(alex) pipeline in torch (NCHW/OIHW)."""
+    import torch
+    import torch.nn as nn
 
     def prep(img):
         x = torch.from_numpy(np.asarray(img, np.float32)).permute(2, 0, 1)[None]
