@@ -11,8 +11,13 @@ against GT surface samples with a KD-tree:
   path length (m)       — forward steps x step size
 
 The reference parallelizes per-frame KD queries with a ProcessPoolExecutor
-(eval_actions.py:98); here frames accumulate a running min-distance array
-(identical math) with optional process parallelism.
+(eval_actions.py:98): one tree per frame, 200k GT queries against each, with
+a running min. min-over-frames of per-frame nearest distances equals the
+nearest distance against the UNION cloud, so this implementation builds ONE
+KD-tree over all observed points and queries the GT samples once — identical
+numbers, ~25x less query work for a 1000-frame episode (the per-frame path
+cost ~45 min on this host; the union path is dominated by the single tree
+build). `workers` maps to scipy's threaded query.
 """
 
 from __future__ import annotations
@@ -54,32 +59,19 @@ def backproject_frame(depth: np.ndarray, intrinsics: np.ndarray, c2w: np.ndarray
     return pts @ c2w[:3, :3].T + c2w[:3, 3]
 
 
-def _coverage_chunk(
+def _observed_cloud(
     frames: List,
     intrinsics: np.ndarray,
-    gt_samples: np.ndarray,
     point_subsample: int,
-):
-    """Score one chunk of frames: running per-GT-sample min distance +
-    accumulated observed points. Module-level so ProcessPoolExecutor can
-    pickle it (the reference parallelizes the same way,
-    eval_actions.py:96-148)."""
-    min_dist = np.full(len(gt_samples), np.inf)
+) -> np.ndarray:
+    """Union of all frames' backprojected (subsampled) world points."""
     observed: List[np.ndarray] = []
     for depth, c2w in frames:
         pts = backproject_frame(depth, intrinsics, c2w)
         if len(pts) == 0:
             continue
-        pts = pts[::point_subsample]
-        observed.append(pts)
-        # running completeness: nearest observed point per GT sample
-        tree_frame = cKDTree(pts)
-        d_gt, _ = tree_frame.query(gt_samples, k=1)
-        np.minimum(min_dist, d_gt, out=min_dist)
-    all_pts = (
-        np.concatenate(observed, 0) if observed else np.zeros((0, 3))
-    )
-    return min_dist, all_pts
+        observed.append(pts[::point_subsample])
+    return np.concatenate(observed, 0) if observed else np.zeros((0, 3))
 
 
 def sample_gt_surface(dataset, num_samples: int = 200_000) -> np.ndarray:
@@ -121,8 +113,9 @@ def eval_actions(
 ) -> CoverageReport:
     """Replay a recorded action sequence in a *fresh* dataset and score
     coverage (eval_actions.py:42-153 semantics; 200k GT samples, 5 cm
-    completeness threshold). workers > 1 fans the per-frame KD queries out
-    over a ProcessPoolExecutor (reference: eval_actions.py:98)."""
+    completeness threshold). The per-frame trees the reference loops over
+    (eval_actions.py:96-148) are replaced by one union-cloud tree — same
+    min-distance math, one query pass. workers > 1 threads that query."""
     if hasattr(dataset, "setup") and getattr(dataset, "_sim", None) is None:
         dataset.setup()  # fresh HabitatDataset in 'Eval' mode
     dataset.reset()
@@ -146,40 +139,24 @@ def eval_actions(
         (f["depth"], np.asarray(f["c2w"], np.float64))
         for f in frames[::frame_stride]
     ]
-    if workers > 1 and len(work) > 1:
-        from concurrent.futures import ProcessPoolExecutor
+    all_pts = _observed_cloud(work, intrinsics, point_subsample)
 
-        chunks = [work[i::workers] for i in range(workers)]
-        chunks = [c for c in chunks if c]
-        with ProcessPoolExecutor(max_workers=len(chunks)) as pool:
-            results = list(
-                pool.map(
-                    _coverage_chunk,
-                    chunks,
-                    [intrinsics] * len(chunks),
-                    [gt_samples] * len(chunks),
-                    [point_subsample] * len(chunks),
-                )
-            )
-        min_dist = np.min([r[0] for r in results], axis=0)
-        observed = [r[1] for r in results if len(r[1])]
-    else:
-        min_dist, all_pts = _coverage_chunk(
-            work, intrinsics, gt_samples, point_subsample
+    if len(all_pts):
+        query_workers = workers if workers > 1 else 1
+        tree_obs = cKDTree(all_pts)
+        min_dist, _ = tree_obs.query(gt_samples, k=1, workers=query_workers)
+        d_acc, _ = tree_gt.query(
+            all_pts[:: max(1, len(all_pts) // 500_000 + 1)],
+            k=1,
+            workers=query_workers,
         )
-        observed = [all_pts] if len(all_pts) else []
-
-    if observed:
-        all_pts = np.concatenate(observed, 0)
-        d_acc, _ = tree_gt.query(all_pts[:: max(1, len(all_pts) // 500_000 + 1)], k=1)
         accuracy = float(d_acc.mean())
+        completeness = float(min_dist.mean())
+        ratio = float((min_dist < dist_threshold).mean())
     else:
-        all_pts = np.zeros((0, 3))
         accuracy = float("inf")
-
-    finite = np.isfinite(min_dist)
-    completeness = float(min_dist[finite].mean()) if finite.any() else float("inf")
-    ratio = float((min_dist < dist_threshold).mean())
+        completeness = float("inf")
+        ratio = 0.0
     return CoverageReport(
         completeness=completeness,
         completeness_ratio=ratio,
