@@ -157,6 +157,37 @@ def test_coverage_judge(tmp_path):
     )
     assert par.num_observed_points == report.num_observed_points
 
+    # union-cloud tree == the reference's per-frame trees + running min
+    # (eval_actions.py:96-148): replay the same frames and score the slow way
+    from scipy.spatial import cKDTree
+
+    from activesplat_tpu.eval.replay import (
+        backproject_frame,
+        read_actions,
+        sample_gt_surface,
+    )
+
+    slow = make_dataset(None)
+    slow.reset()
+    gt = sample_gt_surface(slow, 20000)
+    frames = [slow.get_frame()]
+    for a in read_actions(os.path.join(results_dir, "actions.txt")):
+        slow.step(SimAction(a))
+        frames.append(slow.get_frame())
+    min_dist = np.full(len(gt), np.inf)
+    for f in frames[::2]:
+        pts = backproject_frame(
+            f["depth"], slow.sensor.intrinsics, np.asarray(f["c2w"], np.float64)
+        )[::4]
+        if len(pts) == 0:
+            continue
+        d, _ = cKDTree(pts).query(gt, k=1)
+        np.minimum(min_dist, d, out=min_dist)
+    np.testing.assert_allclose(report.completeness, min_dist.mean())
+    np.testing.assert_allclose(
+        report.completeness_ratio, (min_dist < 0.05).mean()
+    )
+
 
 def test_coverage_monotone(tmp_path):
     """More exploration -> better coverage."""
