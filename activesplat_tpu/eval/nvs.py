@@ -43,8 +43,11 @@ def eval_nvs(
         if idx != 0 and (idx + 1) % eval_every != 0:
             continue
         cam = make_camera(width, height, intrinsics, np.linalg.inv(c2w))
+        from activesplat_tpu.ops.render import forward_backend
+
         out = render_jit(
             buf, cam, chunk=chunk, k_per_tile=k_per_tile,
+            backend=forward_backend() if k_per_tile else "xla",
             exact=k_per_tile > 0,  # NVS scoring must not be k-truncated
         )
         im = np.asarray(out.rgb)

@@ -366,7 +366,10 @@ class SplaTAMMapper:
                 from activesplat_tpu.eval.metrics import depth_metrics
                 from activesplat_tpu.eval.metrics import psnr as psnr_np
 
-                ex_rgb, ex_depth = self.render_rgbd_float(cam)
+                # bg=0: match the k-truncated training render (and the
+                # reference's report_progress camera) so psnr vs psnr_train
+                # isolates truncation, not background choice
+                ex_rgb, ex_depth = self.render_rgbd_float(cam, bg=0.0)
                 l1, _ = depth_metrics(ex_depth, np.asarray(depth))
                 self.last_metrics["psnr_train"] = self.last_metrics["psnr"]
                 self.last_metrics["depth_l1_train"] = self.last_metrics[
@@ -594,16 +597,21 @@ class SplaTAMMapper:
         )
         return (rgb * 255).astype(np.uint8), depth
 
-    def render_rgbd_float(self, cam: Camera, scale_modifier: float = 1.0):
+    def render_rgbd_float(
+        self, cam: Camera, scale_modifier: float = 1.0, bg: float = 1.0
+    ):
         """Exact render from an already-built Camera: (rgb float (H,W,3) in
         [0,1], depth meters (H,W)). Float flavor of render_rgbd for metric
-        consumers (exact_online_metrics)."""
+        consumers. bg defaults to white (render() semantics, splatam.py:
+        413-434); online-progress metrics pass bg=0.0 because the reference's
+        report_progress renders with the black training background
+        (eval_helpers.py:220-230 via recon_helpers.py:19)."""
         from activesplat_tpu.ops.render import forward_backend
 
         out = render_jit(
             self.buf,
             cam,
-            bg=jnp.ones(3),
+            bg=jnp.full((3,), bg, jnp.float32),
             scale_modifier=scale_modifier,
             chunk=self.cfg.chunk,
             k_per_tile=self.cfg.k_per_tile,

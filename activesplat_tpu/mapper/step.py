@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -372,7 +372,7 @@ def densify_phase(
     frame_id: jnp.ndarray,
     cfg: MapperConfig,
     mesh=None,
-    backend: str = "xla",
+    backend: Optional[str] = None,
 ):
     """Silhouette/depth-error densification (add_new_gaussians semantics,
     splatam.py:332-379): pixels the map does not yet explain become new
@@ -382,8 +382,13 @@ def densify_phase(
     which also bounds Gaussian-count growth. With `mesh`, the silhouette
     render's blend shards over the mesh like mapping_phase (candidate
     backprojection + masked insertion are O(pixels)/O(capacity) elementwise
-    and stay replicated). Returns (buf, num_dropped, num_inserted)."""
+    and stay replicated). `backend` selects the tiled blend in BOTH branches
+    (None = the platform default, forward_backend()).
+    Returns (buf, num_dropped, num_inserted)."""
     from activesplat_tpu.ops.render import forward_backend
+
+    if backend is None:
+        backend = forward_backend()
 
     f = max(int(cfg.densify_downscale_factor), 1)
     if f > 1:
@@ -415,7 +420,7 @@ def densify_phase(
             cam,
             chunk=cfg.chunk,
             k_per_tile=cfg.k_per_tile,
-            backend=forward_backend() if cfg.k_per_tile else "xla",
+            backend=backend if cfg.k_per_tile else "xla",
             exact=cfg.k_per_tile > 0,
         )
         sil = out.alpha

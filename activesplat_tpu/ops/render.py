@@ -77,12 +77,21 @@ def render_projected(
         [rgb, depth_ch[:, None], (depth_ch * depth_ch)[:, None]], axis=-1
     )  # (C, 5)
 
+    # a tile list can never exceed the gaussian count, so ceil(N/k) windows
+    # make the multi-pass walk PROVABLY exact; the while_loop early-exits
+    # once every overflowing tile saturates/exhausts, so the higher bound is
+    # free at runtime (converged maps measured 150-220 live passes at k=256)
+    exact_passes = -(-proj.mean2d.shape[0] // k_per_tile) if k_per_tile else 1
+
     if k_per_tile > 0 and exact and backend == "pallas":
         # exact forward-only renders take the CSR single-walk path: cost is
         # O(total tile memberships) instead of the multi-pass dense walk
         # (T x k x passes), which degrades badly on converged maps whose
         # membership distribution is skewed (see rasterize_tiled_exact)
-        from activesplat_tpu.ops.raster_tiled import rasterize_tiled_exact
+        from activesplat_tpu.ops.raster_tiled import (
+            rasterize_tiled,
+            rasterize_tiled_exact,
+        )
 
         accum, log_t, dropped = rasterize_tiled_exact(
             proj.mean2d,
@@ -96,6 +105,34 @@ def render_projected(
             height=cam.height,
             interpret=jax.default_backend() != "tpu",
         )
+
+        # The CSR entry budget (default 4N) is a static allocation, so a
+        # view whose memberships exceed it would silently truncate the
+        # deepest Gaussians. Guarantee exactness instead: when the budget
+        # overflowed, discard the CSR result and run the (bounded-exact)
+        # multi-pass walk. lax.cond executes the fallback only when needed,
+        # so the common case stays one CSR walk.
+        def _multipass(_):
+            a, l, _ = rasterize_tiled(
+                proj.mean2d,
+                proj.conic,
+                opacities,
+                channels,
+                proj.valid,
+                proj.radius,
+                proj.depth,
+                width=cam.width,
+                height=cam.height,
+                k_per_tile=k_per_tile,
+                backend=backend,
+                max_passes=exact_passes,
+            )
+            return a, l
+
+        accum, log_t = jax.lax.cond(
+            dropped > 0, _multipass, lambda _: (accum, log_t), None
+        )
+        dropped = jnp.int32(0)  # both branches composite every membership
     elif k_per_tile > 0:
         from activesplat_tpu.ops.raster_tiled import rasterize_tiled
 
@@ -111,7 +148,7 @@ def render_projected(
             height=cam.height,
             k_per_tile=k_per_tile,
             backend=backend,
-            max_passes=64 if exact else 1,
+            max_passes=exact_passes if exact else 1,
         )
     else:
         _, s_valid, s_mean2d, s_conic, s_opacity, s_channels = depth_sort(

@@ -198,7 +198,9 @@ def render_sharded_tiled(
             height=rows,
             k_per_tile=k_per_tile,
             backend=backend,
-            max_passes=64 if exact else 1,
+            # ceil(N/k) windows are provably exact (a tile list cannot
+            # exceed the gaussian count); the while_loop early-exits
+            max_passes=-(-mean2d.shape[0] // k_per_tile) if exact else 1,
         )
         t = jnp.exp(log_t)
         rgb = (accum[:, :3] + t[:, None] * bg_rep[None, :]).reshape(

@@ -184,3 +184,68 @@ def test_gradients_match_finite_difference(rng):
         xm = x0.at[i].add(-eps)
         fd = (loss_fn(xp) - loss_fn(xm)) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_csr_budget_overflow_falls_back_to_exact_multipass(rng):
+    """Engineer a scene whose tile memberships exceed the CSR entry budget
+    (4N): big splats covering the whole 48x40 grid give ~N*T memberships.
+    The exact render must silently take the multi-pass fallback and still
+    equal the dense (uncapped chunked) reference, with dropped == 0."""
+    n = 48
+    scene = random_scene(rng, n, spread=0.3, scale_range=(0.0, 0.4))
+    buf = buffer_from_scene(scene)
+    cam = make_camera(W, H, K, np.eye(4))
+    dense = render(buf, cam, chunk=64)  # composites every Gaussian
+
+    exact = render(buf, cam, chunk=64, k_per_tile=16, backend="pallas",
+                   exact=True)
+    assert int(exact.dropped) == 0
+    np.testing.assert_allclose(
+        np.asarray(exact.rgb), np.asarray(dense.rgb), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact.alpha), np.asarray(dense.alpha), atol=5e-3
+    )
+
+    # sanity: this scene really does overflow the default CSR budget
+    from activesplat_tpu.ops.projection import project_gaussians
+    from activesplat_tpu.ops.raster_tiled import rasterize_tiled_exact
+
+    p = buf.params
+    proj = project_gaussians(
+        p.means3d, p.quats, p.log_scales, buf.active, cam.w2c,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+        near=cam.near, far=cam.far,
+    )
+    chans = jnp.concatenate(
+        [p.rgb, proj.depth[:, None], (proj.depth**2)[:, None]], -1
+    )
+    _, _, csr_dropped = rasterize_tiled_exact(
+        proj.mean2d, proj.conic, jax.nn.sigmoid(p.logit_opacities), chans,
+        proj.valid, proj.radius, proj.depth, width=W, height=H,
+        interpret=True,
+    )
+    assert int(csr_dropped) > 0, "scene was meant to overflow the 4N budget"
+
+
+def test_exact_multipass_beyond_64_windows(rng):
+    """A single dense unsaturated tile with > 64*k memberships: the old
+    fixed max_passes=64 truncated it; the ceil(N/k) bound must walk all
+    windows (low opacities keep transmittance high, so no early exit)."""
+    n = 1100
+    scene = random_scene(rng, n, spread=0.05, z_range=(2.0, 6.0),
+                         scale_range=(-2.2, -1.8))
+    # near-transparent: the tile never saturates, every window must fold in
+    scene["logit_opacities"] = np.full(n, -4.0, np.float32)
+    buf = buffer_from_scene(scene)
+    cam = make_camera(W, H, K, np.eye(4))
+    dense = render(buf, cam, chunk=128)
+    exact = render(buf, cam, chunk=128, k_per_tile=16, backend="xla",
+                   exact=True)
+    assert int(exact.dropped) == 0
+    np.testing.assert_allclose(
+        np.asarray(exact.rgb), np.asarray(dense.rgb), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact.alpha), np.asarray(dense.alpha), atol=5e-3
+    )
