@@ -39,6 +39,38 @@ from activesplat_tpu.ops.raster_xla import ALPHA_MAX, ALPHA_MIN
 TILE = 16
 
 
+def tile_aabbs(
+    mx: jnp.ndarray,
+    my: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+):
+    """Per-Gaussian tile-grid AABBs with the off-grid cull.
+
+    Shared by the k-capped binning (bin_gaussians) and the CSR exact
+    expansion (rasterize_tiled_exact) so the membership predicate cannot
+    diverge between the two paths. A Gaussian whose AABB misses the grid
+    entirely must not clamp into a border tile as a phantom member: it would
+    waste a k slot / an entry and inflate the dropped counter. Matters
+    doubly under shard_map, where each device sees the whole Gaussian set
+    but only its own row block. Returns (valid, tx0, tx1, ty0, ty1) with the
+    bounds as floats (integral values; callers cast as needed)."""
+    inside = (
+        (mx + radius >= 0.0)
+        & (mx - radius < tiles_x * TILE)
+        & (my + radius >= 0.0)
+        & (my - radius < tiles_y * TILE)
+    )
+    valid = valid & inside
+    tx0 = jnp.clip(jnp.floor((mx - radius) / TILE), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((mx + radius) / TILE), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((my - radius) / TILE), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((my + radius) / TILE), 0, tiles_y - 1)
+    return valid, tx0, tx1, ty0, ty1
+
+
 class TileLists(NamedTuple):
     indices: jnp.ndarray  # (T, K) int32 — Gaussian ids, depth-ascending; N = invalid
     count: jnp.ndarray  # (T,) int32 — number of valid entries per tile
@@ -65,22 +97,9 @@ def bin_gaussians(
     tiles_y = -(-height // TILE)
     t = tiles_x * tiles_y
 
-    # A Gaussian whose AABB misses the tile grid entirely must not clamp
-    # into a border tile as a phantom member: it would waste a k slot and
-    # inflate the dropped counter. Matters doubly under shard_map, where
-    # each device sees the whole Gaussian set but only its own row block.
-    inside = (
-        (mean2d[:, 0] + radius >= 0.0)
-        & (mean2d[:, 0] - radius < tiles_x * TILE)
-        & (mean2d[:, 1] + radius >= 0.0)
-        & (mean2d[:, 1] - radius < tiles_y * TILE)
+    valid, tx0, tx1, ty0, ty1 = tile_aabbs(
+        mean2d[:, 0], mean2d[:, 1], radius, valid, tiles_x, tiles_y
     )
-    valid = valid & inside
-
-    tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / TILE), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / TILE), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / TILE), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / TILE), 0, tiles_y - 1)
 
     # Counting-sort by hierarchical dense compaction, WITHOUT materializing
     # the (T, N) membership matrix (whose construction dominated whole-map
@@ -643,24 +662,11 @@ def rasterize_tiled_exact(
     s_rad = jnp.maximum(s_vr, 0.0) + 2.0 / scale
 
     # ---- 2. AABBs + per-tile totals (counting matmul) ----
-    inside = (
-        (s_mx + s_rad >= 0.0)
-        & (s_mx - s_rad < tiles_x * TILE)
-        & (s_my + s_rad >= 0.0)
-        & (s_my - s_rad < tiles_y * TILE)
+    s_val, tx0, tx1, ty0, ty1 = tile_aabbs(
+        s_mx, s_my, s_rad, s_val, tiles_x, tiles_y
     )
-    s_val = s_val & inside
-    tx0 = jnp.clip(jnp.floor((s_mx - s_rad) / TILE), 0, tiles_x - 1).astype(
-        jnp.int32
-    )
-    tx1 = jnp.clip(jnp.floor((s_mx + s_rad) / TILE), 0, tiles_x - 1).astype(
-        jnp.int32
-    )
-    ty0 = jnp.clip(jnp.floor((s_my - s_rad) / TILE), 0, tiles_y - 1).astype(
-        jnp.int32
-    )
-    ty1 = jnp.clip(jnp.floor((s_my + s_rad) / TILE), 0, tiles_y - 1).astype(
-        jnp.int32
+    tx0, tx1, ty0, ty1 = (
+        a.astype(jnp.int32) for a in (tx0, tx1, ty0, ty1)
     )
     w_g = tx1 - tx0 + 1
     h_g = ty1 - ty0 + 1
