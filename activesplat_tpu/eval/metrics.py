@@ -49,7 +49,6 @@ def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
 
     Requires every pyramid level to fit the 11-px window (pytorch_msssim
     raises for such sizes too; use ms_ssim_levels() to pick a legal depth)."""
-    weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
     a = jnp.asarray(img_a, jnp.float32)
     b = jnp.asarray(img_b, jnp.float32)
     if a.ndim == 2:
@@ -59,14 +58,26 @@ def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
         raise ValueError(
             f"image {a.shape[:2]} too small for {levels}-level MS-SSIM"
         )
+    return float(ms_ssim_jax(a, b, levels))
+
+
+def ms_ssim_jax(a: jnp.ndarray, b: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Pure-jnp MS-SSIM core (see ms_ssim): traceable, so fused device
+    scorers (eval_map_quality) can compute it in-graph next to the render
+    instead of shuttling images over the host link per metric call. `levels`
+    is static; callers validate it with ms_ssim_levels()."""
     from activesplat_tpu.ops.ssim import ssim_cs
 
+    weights = jnp.asarray(
+        np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels],
+        jnp.float32,
+    )
     per_level = []  # (C,) arrays: cs at 0..L-2, ssim at L-1
     for level in range(levels):
         ssim_pc, cs_pc = ssim_cs(a, b)
-        per_level.append(np.maximum(
-            np.asarray(ssim_pc if level == levels - 1 else cs_pc), 0.0
-        ))
+        per_level.append(
+            jnp.maximum(ssim_pc if level == levels - 1 else cs_pc, 0.0)
+        )
         if level < levels - 1:
             h = (a.shape[0] // 2) * 2
             w = (a.shape[1] // 2) * 2
@@ -76,9 +87,9 @@ def ms_ssim(img_a: np.ndarray, img_b: np.ndarray, levels: int = 5) -> float:
             b = (
                 b[:h:2, :w:2] + b[1:h:2, :w:2] + b[:h:2, 1:w:2] + b[1:h:2, 1:w:2]
             ) / 4.0
-    stacked = np.stack(per_level)  # (levels, C)
-    per_channel = np.prod(stacked ** weights[:, None], axis=0)
-    return float(per_channel.mean())
+    stacked = jnp.stack(per_level)  # (levels, C)
+    per_channel = jnp.prod(stacked ** weights[:, None], axis=0)
+    return jnp.mean(per_channel)
 
 
 def depth_metrics(
@@ -154,6 +165,34 @@ def lpips(img_a: np.ndarray, img_b: np.ndarray) -> Optional[float]:
     from activesplat_tpu.eval import lpips_jax
 
     return lpips_jax.lpips(img_a, img_b)
+
+
+def frame_scores_jax(
+    rgb_pred: jnp.ndarray,
+    rgb_gt: jnp.ndarray,
+    depth_pred: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    levels: int,
+) -> jnp.ndarray:
+    """In-graph (5,) scores [psnr, ssim, ms_ssim, depth_l1, depth_rmse]
+    mirroring frame_report. Lets eval loops fuse render+metrics into ONE
+    device program and fetch 5 scalars instead of shuttling full f32 images
+    host<->device per metric (the relay moves ~10 MB/s; a 256px frame is
+    ~1 MB each way)."""
+    from activesplat_tpu.ops.ssim import psnr as psnr_j, ssim as ssim_j
+
+    # unclamped, like frame_report / the reference's eval (only LPIPS
+    # clamps, eval_helpers.py:485-486)
+    a = rgb_pred.astype(jnp.float32)
+    b = rgb_gt.astype(jnp.float32)
+    mask = depth_gt > 0
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    diff = jnp.where(mask, depth_pred - depth_gt, 0.0)
+    l1 = jnp.sum(jnp.abs(diff)) / n_valid
+    rmse = jnp.sqrt(jnp.sum(diff * diff) / n_valid)
+    ssim_val = ssim_j(a, b)
+    ms_val = ms_ssim_jax(a, b, levels) if levels >= 1 else ssim_val
+    return jnp.stack([psnr_j(a, b), ssim_val, ms_val, l1, rmse])
 
 
 def frame_report(

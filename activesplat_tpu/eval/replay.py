@@ -176,13 +176,23 @@ def eval_map_quality(
     """Render the saved map at every dumped frame pose and report averaged
     PSNR / SSIM / MS-SSIM / depth metrics (role of eval/eval_nvs,
     eval_helpers.py:409-625, over the gaussians_data dump)."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from activesplat_tpu.eval.metrics import frame_report
+    from activesplat_tpu.eval.metrics import (
+        frame_scores_jax,
+        lpips,
+        lpips_available,
+        ms_ssim_levels,
+    )
     from activesplat_tpu.io.manifest import load_frame, load_manifest
     from activesplat_tpu.io.params_io import buffer_from_params, load_params
     from activesplat_tpu.models.gaussians import make_camera
-    from activesplat_tpu.ops.render import render_jit
+    from activesplat_tpu.ops.render import forward_backend, render
 
     params = load_params(params_path)
     buf = buffer_from_params(params)
@@ -194,21 +204,39 @@ def eval_map_quality(
             [0, 0, 1],
         ]
     )
+    w, h = manifest["w"], manifest["h"]
+    levels = ms_ssim_levels(h, w) if min(h, w) >= 11 else 0
+    backend = forward_backend() if k_per_tile else "xla"
+    # LPIPS needs the rendered image on host; everything else fuses into one
+    # device program per frame (render + metrics -> 5 scalars), so the relay
+    # moves ~40 bytes/frame instead of ~2 MB of f32 images
+    want_lpips = lpips_available() or bool(
+        os.environ.get("ACTIVESPLAT_LPIPS_WEIGHTS")
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def score_frame(buf, cam, rgb_gt, depth_gt):
+        out = render(
+            buf, cam, chunk=chunk, k_per_tile=k_per_tile,
+            backend=backend,
+            exact=k_per_tile > 0,  # quality eval must not be k-truncated
+        )
+        scores = frame_scores_jax(out.rgb, rgb_gt, out.depth, depth_gt, levels)
+        return scores, out.rgb
+
+    keys = ("psnr", "ssim", "ms_ssim", "depth_l1", "depth_rmse")
     reports = []
     for entry in manifest["frames"][::frame_stride]:
         rgb_gt, depth_gt, w2c = load_frame(gaussians_data_dir, entry)
-        cam = make_camera(manifest["w"], manifest["h"], intr, w2c)
-        from activesplat_tpu.ops.render import forward_backend
-
-        out = render_jit(
-            buf, cam, chunk=chunk, k_per_tile=k_per_tile,
-            backend=forward_backend() if k_per_tile else "xla",
-            exact=k_per_tile > 0,  # quality eval must not be k-truncated
+        cam = make_camera(w, h, intr, w2c)
+        scores, rgb_dev = score_frame(
+            buf, cam, jnp.asarray(rgb_gt), jnp.asarray(depth_gt)
         )
-        reports.append(
-            frame_report(
-                np.asarray(out.rgb), rgb_gt, np.asarray(out.depth), depth_gt
-            )
-        )
-    keys = reports[0].keys()
-    return {k: float(np.mean([r[k] for r in reports])) for k in keys}
+        report = dict(zip(keys, np.asarray(scores, np.float64)))
+        if want_lpips:
+            value = lpips(np.clip(np.asarray(rgb_dev), 0, 1), rgb_gt)
+            if value is not None:
+                report["lpips"] = value
+        reports.append(report)
+    all_keys = reports[0].keys()
+    return {k: float(np.mean([r[k] for r in reports])) for k in all_keys}

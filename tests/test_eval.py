@@ -228,3 +228,39 @@ def test_ms_ssim_borderline_sizes_finite():
         d = rng.uniform(1, 3, (side, side))
         rep = frame_report(a, b, d, d)
         assert np.isfinite(rep["ms_ssim"]), (side, rep)
+
+
+def test_frame_scores_jax_matches_frame_report(rng):
+    """The fused device scorer must reproduce frame_report (the host path)
+    on arbitrary images, including out-of-range predictions and invalid
+    depth."""
+    import jax.numpy as jnp
+
+    from activesplat_tpu.eval.metrics import (
+        frame_report,
+        frame_scores_jax,
+        ms_ssim_levels,
+    )
+
+    h = w = 48
+    rgb_gt = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    rgb_pred = (rgb_gt + rng.normal(0, 0.08, rgb_gt.shape)).astype(np.float32)
+    depth_gt = rng.uniform(0.5, 5.0, (h, w)).astype(np.float32)
+    depth_gt[rng.uniform(size=depth_gt.shape) < 0.2] = 0.0  # invalid holes
+    depth_pred = (depth_gt + rng.normal(0, 0.05, depth_gt.shape)).astype(
+        np.float32
+    )
+
+    want = frame_report(rgb_pred, rgb_gt, depth_pred, depth_gt)
+    got = np.asarray(
+        frame_scores_jax(
+            jnp.asarray(rgb_pred),
+            jnp.asarray(rgb_gt),
+            jnp.asarray(depth_pred),
+            jnp.asarray(depth_gt),
+            ms_ssim_levels(h, w),
+        )
+    )
+    for i, key in enumerate(("psnr", "ssim", "ms_ssim", "depth_l1", "depth_rmse")):
+        np.testing.assert_allclose(got[i], want[key], rtol=1e-5, atol=1e-6,
+                                   err_msg=key)
