@@ -13,6 +13,7 @@ phase, keyframe commit); python only routes scheduling decisions.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import time
@@ -33,10 +34,44 @@ from activesplat_tpu.mapper.step import (
     mapping_phase,
 )
 from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, make_camera
-from activesplat_tpu.ops.render import render_jit
+from activesplat_tpu.ops.render import forward_backend, render, render_jit
 from activesplat_tpu.utils import OPENCV_TO_OPENGL
 from activesplat_tpu.utils.tracing import format_stage_report, stage
 from activesplat_tpu.utils.transforms import mat_to_q_pos
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "k_per_tile", "backend")
+)
+def _exact_online_scores(
+    buf: GaussianBuffer,
+    cam: Camera,
+    rgb_gt: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    *,
+    chunk: int,
+    k_per_tile: int,
+    backend: str,
+):
+    """Fused exact render + (psnr, depth_l1) for online progress metrics.
+
+    bg=0 matches the k-truncated training render (and the reference's
+    report_progress camera, recon_helpers.py:19), so psnr vs psnr_train
+    isolates truncation rather than background choice. Returns two scalars —
+    the whole map-frame metric costs 2 scalar fetches instead of ~1 MB of
+    f32 image transfer."""
+    from activesplat_tpu.ops.ssim import psnr as psnr_j
+
+    out = render(
+        buf, cam, bg=jnp.zeros(3, jnp.float32), chunk=chunk,
+        k_per_tile=k_per_tile, backend=backend, exact=k_per_tile > 0,
+    )
+    a = jnp.clip(out.rgb, 0.0, 1.0)
+    b = jnp.clip(rgb_gt.astype(jnp.float32), 0.0, 1.0)
+    mask = depth_gt > 0
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    l1 = jnp.sum(jnp.where(mask, jnp.abs(out.depth - depth_gt), 0.0)) / n_valid
+    return psnr_j(a, b), l1
 
 
 class SplaTAMMapper:
@@ -363,22 +398,21 @@ class SplaTAMMapper:
                 # reads low once dense tiles overflow (see MapperConfig.
                 # exact_online_metrics); report from the exact render like
                 # the reference's report_progress (eval_helpers.py:153-277).
-                from activesplat_tpu.eval.metrics import depth_metrics
-                from activesplat_tpu.eval.metrics import psnr as psnr_np
-
-                # bg=0: match the k-truncated training render (and the
-                # reference's report_progress camera) so psnr vs psnr_train
-                # isolates truncation, not background choice
-                ex_rgb, ex_depth = self.render_rgbd_float(cam, bg=0.0)
-                l1, _ = depth_metrics(ex_depth, np.asarray(depth))
+                # One fused device program -> 2 scalar fetches (the separate
+                # render + host metrics moved ~1 MB of f32 per map frame
+                # through the ~10 MB/s relay).
+                ex_psnr, ex_l1 = _exact_online_scores(
+                    self.buf, cam, rgb_j, depth_j,
+                    chunk=self.cfg.chunk,
+                    k_per_tile=self.cfg.k_per_tile,
+                    backend=forward_backend(),
+                )
                 self.last_metrics["psnr_train"] = self.last_metrics["psnr"]
                 self.last_metrics["depth_l1_train"] = self.last_metrics[
                     "depth_l1"
                 ]
-                self.last_metrics["psnr"] = psnr_np(
-                    ex_rgb, np.clip(np.asarray(rgb, np.float32), 0.0, 1.0)
-                )
-                self.last_metrics["depth_l1"] = l1
+                self.last_metrics["psnr"] = float(np.asarray(ex_psnr))
+                self.last_metrics["depth_l1"] = float(np.asarray(ex_l1))
             self._check_tile_overflow(self.last_metrics["dropped"], frame_id)
             # online progress record (role of report_progress + the
             # online_psnr.txt summaries, eval_helpers.py:153-277, 370-402)
