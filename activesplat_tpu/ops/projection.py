@@ -144,3 +144,37 @@ def project_gaussians(
     radius = jnp.where(valid, radius, 0.0)
 
     return Projected(mean2d=mean2d, conic=conic, radius=radius, depth=z, valid=valid)
+
+
+def adaptive_cull_radius(
+    radius: jnp.ndarray, valid: jnp.ndarray, opacity: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Opacity-adaptive tile-cull radius (AdR-Gaussian, arXiv 2409.08669) —
+    LOSSLESS under this rasterizer's per-pixel cutoff.
+
+    Every blend zeroes contributions with alpha < 1/255 (ALPHA_MIN, CUDA
+    parity), and alpha at screen distance d from the center is at most
+    opacity * exp(-d^2 / (2*lambda1)). Beyond
+        r_eff = sqrt(2 * ln(255 * opacity)) * sigma      (sigma = radius / 3)
+    that bound drops below the cutoff, so tile memberships outside the
+    r_eff AABB contribute exactly nothing — to the image, the silhouette,
+    or any gradient (the blends gate grads on alpha > 0). Culling them
+    shrinks bin/CSR membership counts for weakly-opaque Gaussians (freshly
+    densified or decayed splats; the 3-sigma box only binds at
+    opacity >= ~0.04). Splats with opacity <= 1/255 are invisible
+    everywhere and are culled outright.
+
+    Returns (radius_eff, valid_eff) for BINNING ONLY — callers must keep the
+    original 3-sigma radius for densification bookkeeping
+    (RenderOutput.radii / max_2D_radius parity). Inputs are detached: the
+    bin consumes indices, so no gradient may flow through the cull.
+    """
+    sg = jax.lax.stop_gradient
+    radius, opacity = sg(radius), sg(opacity)
+    ln = jnp.log(jnp.maximum(255.0 * opacity, 1e-20))
+    r_eff = jnp.sqrt(jnp.maximum(2.0 * ln, 0.0)) * (radius / 3.0)
+    visible = opacity > (1.0 / 255.0)
+    return (
+        jnp.where(visible, jnp.minimum(radius, r_eff), 0.0),
+        valid & visible,
+    )

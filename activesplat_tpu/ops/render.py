@@ -83,6 +83,18 @@ def render_projected(
     # free at runtime (converged maps measured 150-220 live passes at k=256)
     exact_passes = -(-proj.mean2d.shape[0] // k_per_tile) if k_per_tile else 1
 
+    # binning-only opacity-adaptive cull (lossless; see adaptive_cull_radius).
+    # RenderOutput keeps the original 3-sigma radius/valid for densification
+    # bookkeeping parity.
+    if k_per_tile > 0:
+        from activesplat_tpu.ops.projection import adaptive_cull_radius
+
+        bin_radius, bin_valid = adaptive_cull_radius(
+            proj.radius, proj.valid, opacities
+        )
+    else:
+        bin_radius, bin_valid = proj.radius, proj.valid
+
     if k_per_tile > 0 and exact and backend == "pallas":
         # exact forward-only renders take the CSR single-walk path: cost is
         # O(total tile memberships) instead of the multi-pass dense walk
@@ -98,8 +110,8 @@ def render_projected(
             proj.conic,
             opacities,
             channels,
-            proj.valid,
-            proj.radius,
+            bin_valid,
+            bin_radius,
             proj.depth,
             width=cam.width,
             height=cam.height,
@@ -118,8 +130,8 @@ def render_projected(
                 proj.conic,
                 opacities,
                 channels,
-                proj.valid,
-                proj.radius,
+                bin_valid,
+                bin_radius,
                 proj.depth,
                 width=cam.width,
                 height=cam.height,
@@ -141,8 +153,8 @@ def render_projected(
             proj.conic,
             opacities,
             channels,
-            proj.valid,
-            proj.radius,
+            bin_valid,
+            bin_radius,
             proj.depth,
             width=cam.width,
             height=cam.height,

@@ -180,6 +180,11 @@ def render_sharded_tiled(
     channels = jnp.concatenate(
         [params.rgb, proj.depth[:, None], (proj.depth * proj.depth)[:, None]], -1
     )
+    # binning-only opacity-adaptive cull (lossless; see adaptive_cull_radius);
+    # the returned radii keep the original 3-sigma values
+    from activesplat_tpu.ops.projection import adaptive_cull_radius
+
+    bin_radius, bin_valid = adaptive_cull_radius(proj.radius, proj.valid, opac)
 
     def shard_fn(mean2d, conic, opacity, chans, valid, radius, depth, bg_rep):
         row0 = (jax.lax.axis_index("px") * rows).astype(mean2d.dtype)
@@ -220,7 +225,7 @@ def render_sharded_tiled(
         in_specs=(P(),) * 8,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(proj.mean2d, proj.conic, opac, channels, proj.valid, proj.radius, proj.depth, bg)
+    )(proj.mean2d, proj.conic, opac, channels, bin_valid, bin_radius, proj.depth, bg)
     return rgb, depth, alpha, proj.radius, dropped
 
 

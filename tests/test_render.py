@@ -249,3 +249,39 @@ def test_exact_multipass_beyond_64_windows(rng):
     np.testing.assert_allclose(
         np.asarray(exact.alpha), np.asarray(dense.alpha), atol=5e-3
     )
+
+
+def test_adaptive_cull_is_lossless(rng):
+    """Opacity-adaptive bin culling (adaptive_cull_radius): weak splats get
+    tighter AABBs and sub-1/255 splats are dropped outright, with NO effect
+    on the image, silhouette, or gradients — the blends already zero those
+    contributions."""
+    import jax
+
+    scene = random_scene(rng, 150)
+    scene["logit_opacities"][:50] = -5.2  # alpha ~ 0.0055: r_eff ~ 0.8 sigma
+    scene["logit_opacities"][50:70] = -8.0  # alpha < 1/255: invisible
+    buf = buffer_from_scene(scene)
+    cam = make_camera(W, H, K, np.eye(4))
+
+    dense = render(buf, cam, chunk=64)
+    tiled = render(buf, cam, chunk=64, k_per_tile=64, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(tiled.rgb), np.asarray(dense.rgb), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled.alpha), np.asarray(dense.alpha), atol=2e-5
+    )
+
+    # gradient parity: tiled (with cull) vs dense on opacities + means
+    def loss(logit_op, k):
+        params = buf.params.replace(logit_opacities=logit_op)
+        out = render(
+            buf.replace(params=params), cam, chunk=64, k_per_tile=k,
+            backend="xla",
+        )
+        return jnp.sum(out.rgb**2) + jnp.sum(out.alpha**2)
+
+    g_dense = np.asarray(jax.grad(loss)(buf.params.logit_opacities, 0))
+    g_tiled = np.asarray(jax.grad(loss)(buf.params.logit_opacities, 64))
+    np.testing.assert_allclose(g_tiled, g_dense, rtol=1e-4, atol=1e-5)
