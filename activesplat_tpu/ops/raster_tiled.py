@@ -576,7 +576,7 @@ def _tiles_to_image(accum_t, logt_t, tiles_x, tiles_y, width, height):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "entry_budget", "interpret"),
+    static_argnames=("width", "height", "entry_budget", "ladder", "interpret"),
 )
 def rasterize_tiled_exact(
     mean2d: jnp.ndarray,  # (N, 2) UNSORTED (projection order)
@@ -590,6 +590,7 @@ def rasterize_tiled_exact(
     width: int,
     height: int,
     entry_budget: int = 0,
+    ladder: Tuple[float, ...] = (),
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact (uncapped) forward-only tile compositing in CSR layout.
@@ -623,6 +624,18 @@ def rasterize_tiled_exact(
     entry_budget = 0 picks 4 * N entries (topdown at 877k Gaussians measures
     ~2 memberships per Gaussian; perspective views frustum-cull most of the
     map but carry larger per-splat spans — ~3 in the parity tests).
+
+    `ladder` (static fractions of N, e.g. (0.5, 1.0)) enables budget
+    RIGHT-SIZING: every entry-sized op (the tile-key sort, the inverse-map
+    cumsums, the attribute-row gather, the blend grid) costs O(budget), and
+    small views need far less than 4N — a 120x150 panorama view frustum-culls
+    ~2/3 of the map and carries ~1-tile spans, so its true membership total is
+    ~0.5N and a fixed 4N budget wastes ~8x. The actual total is known after
+    the cheap N-sized prework, so a lax.switch picks the smallest rung that
+    fits (rungs: the ladder fractions plus the 4N/entry_budget top rung, which
+    keeps the overflow->multipass exactness guarantee unchanged). Each rung
+    compiles its own branch — callers with recompile-sensitive cold paths
+    should keep ladders short.
     """
     from activesplat_tpu.ops.raster_pallas import CSEG, N_ATTR
 
@@ -633,7 +646,12 @@ def rasterize_tiled_exact(
     t = tiles_x * tiles_y
     if entry_budget <= 0:
         entry_budget = 4 * n
-    e = -(-entry_budget // CSEG) * CSEG
+
+    def _align(v: int) -> int:
+        return -(-max(int(v), CSEG) // CSEG) * CSEG
+
+    top = _align(entry_budget)
+    rungs = sorted({_align(f * n) for f in ladder if _align(f * n) < top}) + [top]
 
     sg = jax.lax.stop_gradient
     mean2d = sg(mean2d)
@@ -677,65 +695,15 @@ def rasterize_tiled_exact(
     # CSEG alignment the blend kernel relies on
     g_off = jnp.cumsum(span) - span  # exclusive (N,)
     m_total = g_off[-1] + span[-1]
-    kept = (g_off + span) <= e
-    s_val = s_val & kept
-    m_kept = jnp.max(jnp.where(kept, g_off + span, 0))
 
     tile_col = jnp.arange(tiles_x, dtype=jnp.int32)
     tile_row = jnp.arange(tiles_y, dtype=jnp.int32)
-    in_x = (
-        (tile_col[None, :] >= tx0[:, None])
-        & (tile_col[None, :] <= tx1[:, None])
-        & s_val[:, None]
-    )
     in_y = (tile_row[None, :] >= ty0[:, None]) & (tile_row[None, :] <= ty1[:, None])
-    count_full = jnp.einsum(
-        "ny,nx->yx",
-        in_y.astype(jnp.int8),
-        in_x.astype(jnp.int8),
-        preferred_element_type=jnp.int32,
-    ).reshape(t)
-
-    # ---- 3. entry -> (gaussian, tile) inverse map ----
-    e_idx = jnp.arange(e, dtype=jnp.int32)
-    marks = jnp.zeros((e,), jnp.int32).at[g_off].add(1, mode="drop")
-    gid = jnp.cumsum(marks) - 1  # (E,) owning sorted-gaussian id
-    is_first = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_first, e_idx, 0))
-    local = e_idx - run_start
     # per-gaussian AABB byte-pack: one scalar gather per entry
     pga = (tx0 << 16) | (ty0 << 8) | (w_g - 1)
-    pv = pga[gid]
-    ew = (pv & 0xFF) + 1
-    dx = local % ew
-    dy = local // ew
-    tile_of = ((pv >> 8) & 0xFF) * tiles_x + dy * tiles_x + ((pv >> 16) & 0xFF) + dx
-    valid_entry = e_idx < m_kept
-    entry_key = jnp.where(valid_entry, tile_of, t)
-
-    # ---- 4. per-tile CSEG-alignment padding entries ----
-    pad_needed = (-count_full) % CSEG  # (T,)
     pj = jnp.arange(CSEG - 1, dtype=jnp.int32)
-    pad_key = jnp.where(
-        pj[None, :] < pad_needed[:, None],
-        jnp.arange(t, dtype=jnp.int32)[:, None],
-        t,
-    ).reshape(-1)
 
-    keys_all = jnp.concatenate([entry_key, pad_key])
-    gid_all = jnp.concatenate(
-        [jnp.where(valid_entry, gid, n), jnp.full(pad_key.shape, n, jnp.int32)]
-    )
-    e_tot = -(-keys_all.shape[0] // CSEG) * CSEG
-    if e_tot != keys_all.shape[0]:
-        extra = e_tot - keys_all.shape[0]
-        keys_all = jnp.concatenate([keys_all, jnp.full((extra,), t, jnp.int32)])
-        gid_all = jnp.concatenate([gid_all, jnp.full((extra,), n, jnp.int32)])
-    sorted_key, sorted_gid = jax.lax.sort(
-        (keys_all, gid_all), dimension=0, is_stable=True, num_keys=1
-    )
-
-    # ---- 5. attribute rows + segmented blend ----
+    # ---- 5a. attribute table (shared by all rungs) ----
     data = jnp.concatenate(
         [mean2d, conic, opacity[:, None], colors], -1
     )  # (N, 6 + C)
@@ -748,43 +716,113 @@ def rasterize_tiled_exact(
         -1,
     )
     pad_data = jnp.concatenate([data, pad_row], 0)
-    global_ids = jnp.where(
-        sorted_gid >= n, n, order[jnp.minimum(sorted_gid, n - 1)]
-    )
-    entry_data = jnp.pad(
-        pad_data[global_ids], ((0, 0), (0, N_ATTR - 6 - c_dim))
-    )  # (E_tot, N_ATTR)
-
-    # segment -> tile map derived from the (padded) per-tile counts with the
-    # same scatter+cumsum inverse-map trick — a strided slice of sorted_key
-    # (sorted_key[::CSEG]) measures 26 ms at 4M entries, this is ~1 ms
-    n_seg = e_tot // CSEG
-    seg_counts = (count_full + pad_needed) // CSEG  # (T,)
-    seg_starts = jnp.cumsum(seg_counts) - seg_counts
-    seg_marks = jnp.zeros((n_seg,), jnp.int32).at[seg_starts].add(1, mode="drop")
-    seg_of = jnp.cumsum(seg_marks) - 1
-    s_used = jnp.sum(seg_counts)
-    seg_tile = jnp.where(jnp.arange(n_seg) < s_used, seg_of, t)
-    in_grid = seg_tile < t
-    seg_u0 = jnp.where(in_grid, (seg_tile % tiles_x) * TILE, 0)
-    seg_v0 = jnp.where(in_grid, (seg_tile // tiles_x) * TILE, 0)
 
     from activesplat_tpu.ops.raster_pallas import blend_csr_pallas
 
-    accum_t, logt_t = blend_csr_pallas(
-        entry_data, seg_tile, seg_u0, seg_v0, t, c_dim, interpret
-    )
-    # tiles with no entries are never visited by the kernel: mask garbage
-    visited = count_full > 0
-    accum_t = jnp.where(visited[:, None, None], accum_t, 0.0)
-    logt_t = jnp.where(visited[:, None], logt_t, 0.0)
+    def _body(e: int):
+        """Expansion + sort + blend at one static entry budget."""
+        kept = (g_off + span) <= e
+        v = s_val & kept
+        m_kept = jnp.max(jnp.where(kept, g_off + span, 0))
 
-    accum_img, logt_img = _tiles_to_image(
-        accum_t, logt_t, tiles_x, tiles_y, width, height
-    )
-    dropped = m_total - m_kept
-    return (
-        accum_img.reshape(height * width, c_dim),
-        logt_img.reshape(height * width),
-        dropped,
-    )
+        in_x = (
+            (tile_col[None, :] >= tx0[:, None])
+            & (tile_col[None, :] <= tx1[:, None])
+            & v[:, None]
+        )
+        count_full = jnp.einsum(
+            "ny,nx->yx",
+            in_y.astype(jnp.int8),
+            in_x.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        ).reshape(t)
+
+        # ---- 3. entry -> (gaussian, tile) inverse map ----
+        e_idx = jnp.arange(e, dtype=jnp.int32)
+        marks = jnp.zeros((e,), jnp.int32).at[g_off].add(1, mode="drop")
+        gid = jnp.cumsum(marks) - 1  # (E,) owning sorted-gaussian id
+        is_first = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
+        run_start = jax.lax.cummax(jnp.where(is_first, e_idx, 0))
+        local = e_idx - run_start
+        pv = pga[gid]
+        ew = (pv & 0xFF) + 1
+        dx = local % ew
+        dy = local // ew
+        tile_of = (
+            ((pv >> 8) & 0xFF) * tiles_x + dy * tiles_x + ((pv >> 16) & 0xFF) + dx
+        )
+        valid_entry = e_idx < m_kept
+        entry_key = jnp.where(valid_entry, tile_of, t)
+
+        # ---- 4. per-tile CSEG-alignment padding entries ----
+        pad_needed = (-count_full) % CSEG  # (T,)
+        pad_key = jnp.where(
+            pj[None, :] < pad_needed[:, None],
+            jnp.arange(t, dtype=jnp.int32)[:, None],
+            t,
+        ).reshape(-1)
+
+        keys_all = jnp.concatenate([entry_key, pad_key])
+        gid_all = jnp.concatenate(
+            [jnp.where(valid_entry, gid, n), jnp.full(pad_key.shape, n, jnp.int32)]
+        )
+        e_tot = -(-keys_all.shape[0] // CSEG) * CSEG
+        if e_tot != keys_all.shape[0]:
+            extra = e_tot - keys_all.shape[0]
+            keys_all = jnp.concatenate([keys_all, jnp.full((extra,), t, jnp.int32)])
+            gid_all = jnp.concatenate([gid_all, jnp.full((extra,), n, jnp.int32)])
+        sorted_key, sorted_gid = jax.lax.sort(
+            (keys_all, gid_all), dimension=0, is_stable=True, num_keys=1
+        )
+
+        # ---- 5b. attribute rows + segmented blend ----
+        global_ids = jnp.where(
+            sorted_gid >= n, n, order[jnp.minimum(sorted_gid, n - 1)]
+        )
+        entry_data = jnp.pad(
+            pad_data[global_ids], ((0, 0), (0, N_ATTR - 6 - c_dim))
+        )  # (E_tot, N_ATTR)
+
+        # segment -> tile map derived from the (padded) per-tile counts with
+        # the same scatter+cumsum inverse-map trick — a strided slice of
+        # sorted_key (sorted_key[::CSEG]) measures 26 ms at 4M entries, this
+        # is ~1 ms
+        n_seg = e_tot // CSEG
+        seg_counts = (count_full + pad_needed) // CSEG  # (T,)
+        seg_starts = jnp.cumsum(seg_counts) - seg_counts
+        seg_marks = (
+            jnp.zeros((n_seg,), jnp.int32).at[seg_starts].add(1, mode="drop")
+        )
+        seg_of = jnp.cumsum(seg_marks) - 1
+        s_used = jnp.sum(seg_counts)
+        seg_tile = jnp.where(jnp.arange(n_seg) < s_used, seg_of, t)
+        in_grid = seg_tile < t
+        seg_u0 = jnp.where(in_grid, (seg_tile % tiles_x) * TILE, 0)
+        seg_v0 = jnp.where(in_grid, (seg_tile // tiles_x) * TILE, 0)
+
+        accum_t, logt_t = blend_csr_pallas(
+            entry_data, seg_tile, seg_u0, seg_v0, t, c_dim, interpret
+        )
+        # tiles with no entries are never visited by the kernel: mask garbage
+        visited = count_full > 0
+        accum_t = jnp.where(visited[:, None, None], accum_t, 0.0)
+        logt_t = jnp.where(visited[:, None], logt_t, 0.0)
+
+        accum_img, logt_img = _tiles_to_image(
+            accum_t, logt_t, tiles_x, tiles_y, width, height
+        )
+        dropped = m_total - m_kept
+        return (
+            accum_img.reshape(height * width, c_dim),
+            logt_img.reshape(height * width),
+            dropped,
+        )
+
+    if len(rungs) == 1:
+        return _body(rungs[0])
+    # smallest rung that fits m_total (the last rung also catches overflow,
+    # whose nonzero `dropped` triggers the caller's multipass fallback)
+    idx = jnp.int32(0)
+    for r in rungs[:-1]:
+        idx = idx + (m_total > r).astype(jnp.int32)
+    return jax.lax.switch(idx, [functools.partial(_body, r) for r in rungs])

@@ -55,6 +55,7 @@ def render_projected(
     k_per_tile: int = 0,
     backend: str = "xla",
     exact: bool = False,
+    exact_ladder: tuple = (1.0, 2.0),
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
@@ -68,7 +69,13 @@ def render_projected(
 
     exact=True composites uncapped (multi-pass over k-windows until tiles
     saturate or exhaust — the CUDA reference's dynamic-list semantics) and is
-    FORWARD-ONLY; use it for densify silhouettes, queries and eval."""
+    FORWARD-ONLY; use it for densify silhouettes, queries and eval.
+
+    exact_ladder right-sizes the CSR entry budget per call: fractions of N
+    offered as lax.switch rungs below the 4N exactness bound (see
+    rasterize_tiled_exact). Small views (panoramas, frustum-culled
+    perspectives) pick small rungs and skip most of the budget-sized sort/
+    gather work; () pins the fixed 4N budget."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
 
@@ -115,6 +122,7 @@ def render_projected(
             proj.depth,
             width=cam.width,
             height=cam.height,
+            ladder=tuple(exact_ladder),
             interpret=jax.default_backend() != "tpu",
         )
 
@@ -206,6 +214,7 @@ def render(
     k_per_tile: int = 0,
     backend: str = "xla",
     exact: bool = False,
+    exact_ladder: tuple = (1.0, 2.0),
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 
@@ -242,11 +251,13 @@ def render(
         k_per_tile=k_per_tile,
         backend=backend,
         exact=exact,
+        exact_ladder=exact_ladder,
     )
 
 
 # Compiled entry point: Camera's width/height are pytree metadata, so one
 # compilation serves all poses/intrinsics at a given resolution.
 render_jit = jax.jit(
-    render, static_argnames=("chunk", "k_per_tile", "backend", "exact")
+    render,
+    static_argnames=("chunk", "k_per_tile", "backend", "exact", "exact_ladder"),
 )

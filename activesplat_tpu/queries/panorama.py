@@ -67,6 +67,10 @@ def _views_impl(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int, scale: float
             # uncapped alpha: a truncated panorama reads invisibility high,
             # which would keep the planner revisiting already-mapped space
             exact=backend == "pallas",
+            # 120deg views frustum-cull ~2/3 of the map and carry ~1-tile
+            # spans: true membership totals sit near 0.5N, so offer small
+            # CSR budget rungs (each entry-sized op costs O(rung))
+            exact_ladder=(0.25, 0.5, 1.0),
         )
         return out.rgb, out.depth, out.alpha
 

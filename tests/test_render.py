@@ -228,6 +228,44 @@ def test_csr_budget_overflow_falls_back_to_exact_multipass(rng):
     assert int(csr_dropped) > 0, "scene was meant to overflow the 4N budget"
 
 
+def test_csr_budget_ladder_matches_fixed_budget(rng):
+    """The budget ladder (lax.switch over right-sized entry budgets) must be
+    invisible in the output: every rung composites the identical entry set,
+    so a ladder render equals the fixed-4N render bitwise, across scenes
+    that land on different rungs."""
+    from activesplat_tpu.ops.projection import project_gaussians
+    from activesplat_tpu.ops.raster_tiled import rasterize_tiled_exact
+
+    cam = make_camera(W, H, K, np.eye(4))
+    # small splats -> m_total well under N (small rung); large -> mid rungs
+    for scale_range in [(-3.0, -2.5), (-2.3, -1.9)]:
+        scene = random_scene(rng, 600, spread=0.4, scale_range=scale_range)
+        buf = buffer_from_scene(scene)
+        p = buf.params
+        proj = project_gaussians(
+            p.means3d, p.quats, p.log_scales, buf.active, cam.w2c,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+            near=cam.near, far=cam.far,
+        )
+        chans = jnp.concatenate(
+            [p.rgb, proj.depth[:, None], (proj.depth**2)[:, None]], -1
+        )
+        args = (
+            proj.mean2d, proj.conic, jax.nn.sigmoid(p.logit_opacities),
+            chans, proj.valid, proj.radius, proj.depth,
+        )
+        ref_a, ref_l, ref_d = rasterize_tiled_exact(
+            *args, width=W, height=H, interpret=True
+        )
+        lad_a, lad_l, lad_d = rasterize_tiled_exact(
+            *args, width=W, height=H, ladder=(0.25, 0.5, 1.0, 2.0),
+            interpret=True,
+        )
+        assert int(lad_d) == int(ref_d)
+        np.testing.assert_array_equal(np.asarray(lad_a), np.asarray(ref_a))
+        np.testing.assert_array_equal(np.asarray(lad_l), np.asarray(ref_l))
+
+
 def test_exact_multipass_beyond_64_windows(rng):
     """A single dense unsaturated tile with > 64*k memberships: the old
     fixed max_passes=64 truncated it; the ceil(N/k) bound must walk all
