@@ -466,3 +466,112 @@ def blend_csr_pallas(
         interpret=interpret,
     )(seg_tile, seg_u0, seg_v0, entry_data)
     return accum[:n_tiles, :, :n_channels], logt[:n_tiles, 0, :]
+
+
+# --------------------------------------------------------------------------- #
+# Per-tile slot search (binning). The XLA bin (raster_tiled.bin_gaussians)
+# materializes its per-slot intermediates in HBM: the (T, K, nb) block-scan
+# compares, the (T, K, blk) gathered AABB rows and their bit cumsums — ~100 MB
+# of traffic per bin at the benchmark size, the last stage above its
+# primitive floor (CLAUDE.md iter breakdown). This kernel runs the whole
+# slot walk VMEM-resident, one grid step per tile:
+#   - the per-(tile, block) member-count cumsum arrives precomputed (it falls
+#     out of the counting einsum for free) as one (nb, 1) column per tile;
+#   - the k-th member's block is found by a flat (nb, K) compare (the XLA
+#     path needs a 2/3-level hierarchy only because its compares are
+#     HBM-sized; in VMEM flat is cheaper than the gathers a hierarchy costs);
+#   - `prior` (members before the block) is a masked max — no gather;
+#   - the block's AABB rows are fetched by ONE-HOT MXU MATMULS against four
+#     bf16 byte planes (values <= 255, exact in bf16) kept VMEM-resident
+#     across all grid steps — the gather never touches HBM;
+#   - the in-block bit prefix is the blend kernel's sublane Hillis-Steele.
+# Work per tile: O(K * nb) VPU compares + 4 tiny MXU matmuls, all on-chip.
+# --------------------------------------------------------------------------- #
+
+
+def _bin_slots_kernel(
+    off_ref, cum_ref, planes_ref, idx_ref, *, tiles_x: int, blk: int, n: int
+):
+    t = pl.program_id(0)
+    ttx = (t % tiles_x).astype(jnp.float32)
+    tty = (t // tiles_x).astype(jnp.float32)
+    cum = cum_ref[...]  # (nb, 1) int32: inclusive block cumsum of this tile
+    nb = cum.shape[0]
+    k = idx_ref.shape[1]
+    count_full = cum[nb - 1, 0]
+
+    ks = off_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1, K)
+    cmp = cum <= ks  # (nb, K): blocks fully before slot k
+    blk_idx = jnp.sum(cmp.astype(jnp.int32), axis=0, keepdims=True)  # (1, K)
+    blk_safe = jnp.minimum(blk_idx, nb - 1)
+    prior = jnp.max(
+        jnp.where(cmp, cum, 0), axis=0, keepdims=True
+    )  # (1, K) members before the chosen block (cumsum is nondecreasing)
+
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) == blk_safe
+    ).astype(jnp.bfloat16)  # (nb, K)
+
+    def fetch(plane):  # (blk, nb) bf16 @ (nb, K) bf16 -> (blk, K) f32
+        return jax.lax.dot_general(
+            plane,
+            onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    bits = (
+        (fetch(planes_ref[0]) <= ttx)
+        & (ttx <= fetch(planes_ref[1]))
+        & (fetch(planes_ref[2]) <= tty)
+        & (tty <= fetch(planes_ref[3]))
+    )  # (blk, K) membership of the block's gaussians in this tile
+    local_cum = _prefix_scan_inclusive(bits.astype(jnp.int32))  # (blk, K)
+    needed = ks - prior + 1  # (1, K)
+    pos = jnp.sum(
+        (local_cum < needed).astype(jnp.int32), axis=0, keepdims=True
+    )  # (1, K) position of the needed-th set bit
+    idx = blk_safe * blk + pos
+    idx_ref[...] = jnp.where(ks < count_full, idx, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tiles_x", "blk", "n", "interpret")
+)
+def bin_slots_pallas(
+    slot_offset: jnp.ndarray,  # () or (1,) int32 window start
+    cum_t: jnp.ndarray,  # (nb, T) int32 inclusive per-block member cumsums
+    planes: jnp.ndarray,  # (4, blk, nb) bf16 [tx0, tx1, ty0, ty1] byte planes
+    k: int,
+    tiles_x: int,
+    blk: int,
+    n: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-tile depth-ordered member indices (T, K) — see block comment.
+
+    Planes hold one AABB byte per SORTED gaussian in transposed block layout
+    (plane[c, j, b] = byte c of gaussian b * blk + j); entries past the
+    member count are the sentinel `n`. K must be a lane multiple (128)."""
+    nb, n_tiles = cum_t.shape
+    assert planes.shape == (4, blk, nb), (planes.shape, blk, nb)
+    assert k % 128 == 0, k
+    off = jnp.asarray(slot_offset, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((nb, 1), lambda t, off: (0, t)),
+            # constant index map: the byte planes stay VMEM-resident across
+            # all grid steps instead of being re-fetched per tile
+            pl.BlockSpec((4, blk, nb), lambda t, off: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k), lambda t, off: (t, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_bin_slots_kernel, tiles_x=tiles_x, blk=blk, n=n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k), jnp.int32),
+        interpret=interpret,
+    )(off, cum_t, planes)

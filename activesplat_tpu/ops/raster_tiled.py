@@ -85,12 +85,18 @@ def bin_gaussians(
     height: int,
     k_per_tile: int,
     slot_offset=0,
+    backend: str = "xla",
 ) -> TileLists:
     """Fixed-capacity per-tile lists from Gaussian screen AABBs.
 
     `slot_offset` (dynamic scalar) selects the members at list positions
     [offset, offset + k) of each tile instead of the first k — the window a
     multi-pass blend walks (rasterize_tiled_exact): pass p reads offset p*k.
+
+    backend="pallas" runs the slot walk in a VMEM-resident kernel
+    (raster_pallas.bin_slots_pallas) when its static preconditions hold
+    (K a lane multiple, block count within VMEM); the counting einsum and
+    the XLA hierarchy remain the fallback and the parity oracle.
     """
     n = mean2d.shape[0]
     tiles_x = -(-width // TILE)
@@ -139,6 +145,49 @@ def bin_gaussians(
         in_x.reshape(nb, blk, tiles_x).astype(jnp.int8),
         preferred_element_type=jnp.int32,
     )  # (nb, ty, tx) exact integer counts (int8 MXU runs at 2x bf16 rate)
+
+    import os
+
+    if (
+        backend == "pallas"
+        and k_per_tile % 128 == 0
+        # VMEM gate: the (nb, K) slot compares plus the resident byte
+        # planes (8 * n_pad bytes) must fit on-chip
+        and nb <= 2048
+        # opt-in until Mosaic lowering is validated on hardware
+        and os.environ.get("ACTIVESPLAT_BIN_KERNEL", "0") == "1"
+    ):
+        from activesplat_tpu.ops.raster_pallas import bin_slots_pallas
+
+        # the (nb, T) cumsum layout falls out of the einsum for free
+        cum_t = jnp.cumsum(counts_yx.reshape(nb, t), axis=0)
+        count_full = cum_t[-1]
+
+        def plane(a, pad_value):
+            p = jnp.where(valid, a, pad_value)
+            if pad:
+                p = jnp.pad(p, (0, pad), constant_values=pad_value)
+            # transposed block layout (blk, nb): gaussian b*blk + j at [j, b]
+            return p.reshape(nb, blk).T.astype(jnp.bfloat16)
+
+        planes = jnp.stack(
+            [
+                plane(tx0, 255.0),  # invalid/pad -> empty interval 255 > 0
+                plane(tx1, 0.0),
+                plane(ty0, 255.0),
+                plane(ty1, 0.0),
+            ]
+        )
+        indices = bin_slots_pallas(
+            slot_offset, cum_t, planes, k_per_tile, tiles_x, blk, n,
+            interpret=jax.default_backend() != "tpu",
+        )
+        in_window = jnp.clip(count_full - jnp.int32(slot_offset), 0, k_per_tile)
+        overflow = jnp.maximum(
+            count_full - jnp.int32(slot_offset) - k_per_tile, 0
+        )
+        return TileLists(indices=indices, count=in_window, overflow=overflow)
+
     block_counts = counts_yx.reshape(nb, t).T  # (T, nb)
 
     # byte-packed per-gaussian AABB (tile grids are <= 256 wide: 4096 px)
@@ -454,7 +503,7 @@ def _rasterize_tiled_prefix(
         Returns (accum_t (T, px, C), logt_t (T, px), overflow (T,))."""
         lists = bin_gaussians(
             packed[:, :2], packed[:, 2], packed[:, 3] > 0, width, height,
-            k_per_tile, slot_offset,
+            k_per_tile, slot_offset, backend=backend,
         )
         # map sorted-order list entries to original Gaussian ids; bin
         # padding (b) becomes the blend padding row (n)

@@ -78,6 +78,13 @@ def main():
     t0 = time.time()
     mapper_node, planner = run_episode(dataset, results_dir, mapper_cfg=cfg)
     wall = time.time() - t0
+    from activesplat_tpu.utils.tracing import stage_report
+
+    stage_sums = {
+        k: [round(s, 1), c] for k, (s, c) in sorted(
+            stage_report().items(), key=lambda kv: -kv[1][0]
+        )
+    }
     mapper = mapper_node.mapper
     final_k = mapper.cfg.k_per_tile
     num_g = mapper.num_gaussians()
@@ -119,6 +126,7 @@ def main():
         "online_psnr_last100_mean": round(float(np.mean(online_psnr[-100:])), 2),
         "dropped_max": int(max(dropped_trace) if dropped_trace else 0),
         **{k: round(float(v), 4) for k, v in quality.items()},
+        "stage_sums_s": stage_sums,  # {stage: [seconds, calls]}, loop stages
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:

@@ -315,3 +315,36 @@ def test_csr_budget_truncation_reports_drops(rng):
     assert int(d1) > 0
     # truncation keeps the nearest gaussians: transmittance can only rise
     assert np.all(np.asarray(logt_t) >= np.asarray(logt_f) - 1e-5)
+
+
+def test_bin_slots_kernel_matches_xla(rng, monkeypatch):
+    """The Pallas bin-slots kernel (VMEM-resident slot walk, one-hot MXU
+    AABB fetches) must reproduce the XLA hierarchy bit-for-bit: indices,
+    counts and overflow, across slot offsets and odd grids."""
+    monkeypatch.setenv("ACTIVESPLAT_BIN_KERNEL", "1")
+    for n, w, h in [(1000, 256, 256), (500, 144, 96)]:
+        mean2d = jnp.asarray(
+            np.random.default_rng(n).uniform(-20, max(w, h) + 20, (n, 2)),
+            jnp.float32,
+        )
+        radius = jnp.asarray(
+            np.random.default_rng(n + 1).uniform(1, 25, n), jnp.float32
+        )
+        valid = jnp.asarray(np.random.default_rng(n + 2).uniform(0, 1, n) > 0.15)
+        for off in [0, 128]:
+            ref = bin_gaussians(
+                mean2d, radius, valid, w, h, 256, jnp.int32(off), backend="xla"
+            )
+            ker = bin_gaussians(
+                mean2d, radius, valid, w, h, 256, jnp.int32(off),
+                backend="pallas",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ker.indices), np.asarray(ref.indices)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ker.count), np.asarray(ref.count)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ker.overflow), np.asarray(ref.overflow)
+            )
