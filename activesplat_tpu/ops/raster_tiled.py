@@ -38,6 +38,14 @@ from activesplat_tpu.ops.raster_xla import ALPHA_MAX, ALPHA_MIN
 
 TILE = 16
 
+# Pallas bin-slots kernel opt-in (until Mosaic lowering is validated on
+# hardware). Read ONCE at import: bin_gaussians is traced inside jitted
+# graphs whose cache keys don't include env state, so a mid-process toggle
+# would silently keep stale traces — set before process start.
+import os as _os
+
+_BIN_KERNEL = _os.environ.get("ACTIVESPLAT_BIN_KERNEL", "0") == "1"
+
 
 def tile_aabbs(
     mx: jnp.ndarray,
@@ -86,6 +94,7 @@ def bin_gaussians(
     k_per_tile: int,
     slot_offset=0,
     backend: str = "xla",
+    use_kernel=None,  # None -> the module-level _BIN_KERNEL import default
 ) -> TileLists:
     """Fixed-capacity per-tile lists from Gaussian screen AABBs.
 
@@ -146,16 +155,13 @@ def bin_gaussians(
         preferred_element_type=jnp.int32,
     )  # (nb, ty, tx) exact integer counts (int8 MXU runs at 2x bf16 rate)
 
-    import os
-
     if (
         backend == "pallas"
         and k_per_tile % 128 == 0
         # VMEM gate: the (nb, K) slot compares plus the resident byte
         # planes (8 * n_pad bytes) must fit on-chip
         and nb <= 2048
-        # opt-in until Mosaic lowering is validated on hardware
-        and os.environ.get("ACTIVESPLAT_BIN_KERNEL", "0") == "1"
+        and (_BIN_KERNEL if use_kernel is None else use_kernel)
     ):
         from activesplat_tpu.ops.raster_pallas import bin_slots_pallas
 

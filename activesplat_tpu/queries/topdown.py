@@ -235,6 +235,8 @@ def _topdown_binary(
         k_per_tile=k_per_tile,
         backend=backend,
         exact=k_per_tile > 0,
+        # the height slice deactivates most of the map: small CSR rungs fit
+        exact_ladder=(0.25, 0.5, 1.0),
     )
     full = render_jit(
         buf,
@@ -245,6 +247,8 @@ def _topdown_binary(
         k_per_tile=k_per_tile,
         backend=backend,
         exact=k_per_tile > 0,
+        # whole-map topdown measures ~2 memberships/Gaussian
+        exact_ladder=(1.0, 2.0),
     )
     free_u8 = (free.alpha <= FREE_OPACITY_THRESHOLD).astype(jnp.uint8)
     # uint8 TRUNCATION (the reference's .astype(np.uint8) cast) + grayscale,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from activesplat_tpu.io.params_io import load_params, buffer_from_params
 from activesplat_tpu.models.gaussians import make_camera
-from activesplat_tpu.ops.render import render
+from activesplat_tpu.ops.render import render_jit
 from activesplat_tpu.queries.panorama import (
     PANO_HFOV_DEG,
     PANO_VFOV_DEG,
@@ -66,13 +66,13 @@ def main():
 
     for label, ladder in [("fixed-4N", ()), ("ladder", (0.25, 0.5, 1.0))]:
         t0 = time.perf_counter()
-        out = render(buf, cam, k_per_tile=256, backend="pallas", exact=True,
-                     exact_ladder=ladder)
+        out = render_jit(buf, cam, k_per_tile=256, backend="pallas",
+                         exact=True, exact_ladder=ladder)
         fetch(out.alpha)
         compile_s = time.perf_counter() - t0
         ms, _ = timed(
-            lambda: render(buf, cam, k_per_tile=256, backend="pallas",
-                           exact=True, exact_ladder=ladder).alpha
+            lambda: render_jit(buf, cam, k_per_tile=256, backend="pallas",
+                               exact=True, exact_ladder=ladder).alpha
         )
         print(f"pano view {label}: {ms:.1f} ms/view (compile {compile_s:.1f}s)",
               flush=True)
@@ -84,13 +84,13 @@ def main():
     cam2 = make_camera(w2, h2, intr2, np.linalg.inv(c2w), near=0.01, far=100.0)
     for label, ladder in [("fixed-4N", ()), ("ladder", (1.0, 2.0))]:
         t0 = time.perf_counter()
-        out = render(buf, cam2, k_per_tile=256, backend="pallas", exact=True,
-                     exact_ladder=ladder)
+        out = render_jit(buf, cam2, k_per_tile=256, backend="pallas",
+                         exact=True, exact_ladder=ladder)
         fetch(out.alpha)
         compile_s = time.perf_counter() - t0
         ms, _ = timed(
-            lambda: render(buf, cam2, k_per_tile=256, backend="pallas",
-                           exact=True, exact_ladder=ladder).alpha
+            lambda: render_jit(buf, cam2, k_per_tile=256, backend="pallas",
+                               exact=True, exact_ladder=ladder).alpha
         )
         print(f"perspective {label}: {ms:.1f} ms/view (compile {compile_s:.1f}s)",
               flush=True)

@@ -317,11 +317,10 @@ def test_csr_budget_truncation_reports_drops(rng):
     assert np.all(np.asarray(logt_t) >= np.asarray(logt_f) - 1e-5)
 
 
-def test_bin_slots_kernel_matches_xla(rng, monkeypatch):
+def test_bin_slots_kernel_matches_xla(rng):
     """The Pallas bin-slots kernel (VMEM-resident slot walk, one-hot MXU
     AABB fetches) must reproduce the XLA hierarchy bit-for-bit: indices,
     counts and overflow, across slot offsets and odd grids."""
-    monkeypatch.setenv("ACTIVESPLAT_BIN_KERNEL", "1")
     for n, w, h in [(1000, 256, 256), (500, 144, 96)]:
         mean2d = jnp.asarray(
             np.random.default_rng(n).uniform(-20, max(w, h) + 20, (n, 2)),
@@ -337,7 +336,7 @@ def test_bin_slots_kernel_matches_xla(rng, monkeypatch):
             )
             ker = bin_gaussians(
                 mean2d, radius, valid, w, h, 256, jnp.int32(off),
-                backend="pallas",
+                backend="pallas", use_kernel=True,
             )
             np.testing.assert_array_equal(
                 np.asarray(ker.indices), np.asarray(ref.indices)
