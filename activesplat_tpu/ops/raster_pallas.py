@@ -493,6 +493,7 @@ def _bin_slots_kernel(
     off_ref, cum_ref, planes_ref, idx_ref, *, tiles_x: int, blk: int, n: int
 ):
     t = pl.program_id(0)
+    kc = pl.program_id(1)  # slot-chunk index (bounds VMEM at large nb)
     ttx = (t % tiles_x).astype(jnp.float32)
     tty = (t // tiles_x).astype(jnp.float32)
     cum = cum_ref[...]  # (nb, 1) int32: inclusive block cumsum of this tile
@@ -500,7 +501,11 @@ def _bin_slots_kernel(
     k = idx_ref.shape[1]
     count_full = cum[nb - 1, 0]
 
-    ks = off_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1, K)
+    ks = (
+        off_ref[0]
+        + kc * k
+        + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    )  # (1, K) global slot ids of this chunk
     cmp = cum <= ks  # (nb, K): blocks fully before slot k
     blk_idx = jnp.sum(cmp.astype(jnp.int32), axis=0, keepdims=True)  # (1, K)
     blk_safe = jnp.minimum(blk_idx, nb - 1)
@@ -552,22 +557,33 @@ def bin_slots_pallas(
 
     Planes hold one AABB byte per SORTED gaussian in transposed block layout
     (plane[c, j, b] = byte c of gaussian b * blk + j); entries past the
-    member count are the sentinel `n`. K must be a lane multiple (128)."""
+    member count are the sentinel `n`. K must be a lane multiple (128).
+
+    At large block counts the (nb, K) slot compares dominate VMEM, so K is
+    split over a second grid dimension: each step searches a 128-slot chunk
+    against the full block column (the chunks are independent — `ks` are
+    global slot ids)."""
     nb, n_tiles = cum_t.shape
     assert planes.shape == (4, blk, nb), (planes.shape, blk, nb)
     assert k % 128 == 0, k
     off = jnp.asarray(slot_offset, jnp.int32).reshape(1)
 
+    # bound the (nb, kc) int32 compare + (nb, kc) bf16 one-hot to ~2.5 MB
+    kc = k
+    while kc > 128 and nb * kc > 2048 * 256:
+        kc //= 2
+    n_chunks = k // kc
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((nb, 1), lambda t, off: (0, t)),
+            pl.BlockSpec((nb, 1), lambda t, c, off: (0, t)),
             # constant index map: the byte planes stay VMEM-resident across
             # all grid steps instead of being re-fetched per tile
-            pl.BlockSpec((4, blk, nb), lambda t, off: (0, 0, 0)),
+            pl.BlockSpec((4, blk, nb), lambda t, c, off: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda t, off: (t, 0)),
+        out_specs=pl.BlockSpec((1, kc), lambda t, c, off: (t, c)),
     )
     return pl.pallas_call(
         functools.partial(_bin_slots_kernel, tiles_x=tiles_x, blk=blk, n=n),

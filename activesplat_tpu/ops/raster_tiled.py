@@ -158,9 +158,9 @@ def bin_gaussians(
     if (
         backend == "pallas"
         and k_per_tile % 128 == 0
-        # VMEM gate: the (nb, K) slot compares plus the resident byte
-        # planes (8 * n_pad bytes) must fit on-chip
-        and nb <= 2048
+        # VMEM gate: the resident byte planes (8 * n_pad bytes) plus the
+        # K-chunked slot compares must fit on-chip (<= 4 MB + ~3 MB)
+        and nb <= 4096
         and (_BIN_KERNEL if use_kernel is None else use_kernel)
     ):
         from activesplat_tpu.ops.raster_pallas import bin_slots_pallas
