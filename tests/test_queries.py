@@ -151,3 +151,37 @@ def test_grid_dbscan_matches_sklearn():
     sample = rng.choice(both, size=min(len(both), 300), replace=False)
     for i, j in itertools.combinations(sample[:60], 2):
         assert (ref[i] == ref[j]) == (got[i] == got[j])
+
+
+def test_panorama_csr_ladder_matches_xla_blend(monkeypatch):
+    """Force the panorama views through the exact CSR path (ladder rungs,
+    lax.map composition, interpret-mode Pallas) and compare against the
+    default XLA multipass blend — the two exact backends must agree."""
+    import activesplat_tpu.queries.panorama as pano
+    from activesplat_tpu.queries.panorama import render_panorama
+
+    rng = np.random.default_rng(7)
+    pts = np.stack(
+        [rng.uniform(2, 4, 3000), rng.uniform(0.5, 2, 3000),
+         rng.uniform(2, 4, 3000)], -1,
+    )
+    buf = buffer_from_points(pts, scale=0.05)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [3.0, 1.25, 3.0]
+
+    rgb_x, depth_x, invis_x = render_panorama(buf, c2w, chunk=256)
+
+    import sys
+
+    render_mod = sys.modules["activesplat_tpu.ops.render"]
+    monkeypatch.setattr(render_mod, "forward_backend", lambda: "pallas")
+    # panorama imports forward_backend inside _views_impl via ops.render
+    pano._render_views.clear_cache()
+    rgb_p, depth_p, invis_p = render_panorama(buf, c2w, chunk=256)
+    pano._render_views.clear_cache()
+
+    np.testing.assert_allclose(invis_p, invis_x, atol=5e-3)
+    np.testing.assert_allclose(rgb_p, rgb_x, atol=5e-3)
+    mask = invis_x < 0.5
+    np.testing.assert_allclose(depth_p[mask], depth_x[mask], atol=1e-2)
