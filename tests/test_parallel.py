@@ -203,3 +203,29 @@ def test_sharded_tiled_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb), atol=1e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
+
+
+def test_panorama_csr_on_mesh_matches_single_device(rng, monkeypatch):
+    """The exact CSR raster (budget-ladder lax.switch + prefetch-grid Pallas
+    blend, interpret mode) must compose with shard_map: view-sharded
+    panorama scores == single-device when the pallas/exact path is forced
+    (the production path on a multi-chip TPU mesh)."""
+    import sys
+
+    from activesplat_tpu.queries.panorama import global_invisibility
+
+    render_mod = sys.modules["activesplat_tpu.ops.render"]
+    monkeypatch.setattr(render_mod, "forward_backend", lambda: "pallas")
+
+    scene = random_scene(rng, 200)
+    buf = buffer_from_scene(scene)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = [0.0, 0.0, 2.0]
+    nodes = np.array([[0.5, 0.0, 1.5], [-0.5, 0.0, 2.5]])
+    mesh = make_render_mesh()
+    single = global_invisibility(buf, c2w, nodes, chunk=64, scale=0.25)
+    meshed = global_invisibility(
+        buf, c2w, nodes, chunk=64, scale=0.25, mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(meshed), np.asarray(single), atol=1e-6)
