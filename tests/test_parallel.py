@@ -229,3 +229,27 @@ def test_panorama_csr_on_mesh_matches_single_device(rng, monkeypatch):
         buf, c2w, nodes, chunk=64, scale=0.25, mesh=mesh
     )
     np.testing.assert_allclose(np.asarray(meshed), np.asarray(single), atol=1e-6)
+
+
+def test_sharded_tiled_with_bin_kernel_matches_single_device(rng, monkeypatch):
+    """The Pallas bin-slots kernel must compose with shard_map (the sharded
+    renders bin inside the per-device block): kernel-binned mesh render ==
+    the XLA-binned single-device render. k=128 is a lane multiple, so the
+    kernel gate passes; interpret mode on the CPU mesh."""
+    import activesplat_tpu.ops.raster_tiled as rt
+    from activesplat_tpu.parallel.sharded import render_sharded_tiled
+
+    monkeypatch.setattr(rt, "_BIN_KERNEL", True)
+    w, h = 64, 128
+    k = np.array([[40.0, 0, w / 2 - 1], [0, 40.0, h / 2 - 1], [0, 0, 1]])
+    scene = random_scene(rng, 150)
+    buf = buffer_from_scene(scene)
+    cam = make_camera(w, h, k, np.eye(4))
+    mesh = make_render_mesh()
+    rgb, depth, alpha, _, _ = jax.jit(
+        render_sharded_tiled, static_argnames=("mesh", "k_per_tile", "backend")
+    )(buf, cam, mesh, k_per_tile=128, backend="pallas")
+    monkeypatch.setattr(rt, "_BIN_KERNEL", False)
+    ref = render_jit(buf, cam, k_per_tile=128)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
