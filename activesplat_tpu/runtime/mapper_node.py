@@ -212,6 +212,23 @@ class MapperNode:
         self._finished = True
         self.global_state = GlobalState.QUIT
         self.mapper.post_processing()
+        # gt_mesh.json: GT-mesh pointer for offline judges, written when the
+        # dataset is backed by a scene mesh (visualizer.py:1185-1190)
+        cfg_ds = self.dataset.dataset_config(self.results_dir)
+        mesh_url = cfg_ds.get("scene_mesh_url")
+        if mesh_url and os.path.exists(mesh_url):
+            import json
+
+            import numpy as _np
+
+            tf = _np.asarray(
+                cfg_ds.get("scene_mesh_transform", _np.eye(4))
+            ).tolist()
+            with open(
+                os.path.join(self.results_dir, "gt_mesh.json"), "w"
+            ) as fh:
+                json.dump({"mesh_url": mesh_url, "mesh_transform": tf}, fh,
+                          indent=4)
         if self.live_view is not None:
             self.live_view.close()
         if self.bus.has_service("set_planner_state"):
