@@ -220,10 +220,16 @@ def main():
         # grows past 1M Gaussians; the 200k number alone undersells the
         # scaling story). Same RTX-3090 SplaTAM-class proxy baseline — CUDA
         # 3DGS training at 1M splats/256px also sits around ~30 ms/iter.
-        bench_mapping(
-            int(os.environ.get("BENCH_BIG_GAUSSIANS", 1_000_000)),
-            width, height, iters_timed, 33.3,
-        )
+        # Auxiliary benches must not take the headline down with them: the
+        # relay intermittently drops a call, and the driver parses the FINAL
+        # JSON line of a zero-rc run.
+        try:
+            bench_mapping(
+                int(os.environ.get("BENCH_BIG_GAUSSIANS", 1_000_000)),
+                width, height, iters_timed, 33.3,
+            )
+        except Exception as exc:  # pragma: no cover - relay hiccups
+            print(f"bench_mapping@1M failed: {exc!r}", file=sys.stderr)
 
     # headline metric LAST (the driver parses the final JSON line)
     bench_mapping(n_gaussians, width, height, iters_timed, 33.3)
