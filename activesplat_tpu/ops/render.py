@@ -55,7 +55,7 @@ def render_projected(
     k_per_tile: int = 0,
     backend: str = "xla",
     exact: bool = False,
-    exact_ladder: tuple = (1.0,),
+    exact_ladder: tuple = (0.5, 1.0, 2.0),
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
@@ -214,7 +214,7 @@ def render(
     k_per_tile: int = 0,
     backend: str = "xla",
     exact: bool = False,
-    exact_ladder: tuple = (1.0,),
+    exact_ladder: tuple = (0.5, 1.0, 2.0),
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 

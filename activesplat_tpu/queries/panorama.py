@@ -70,7 +70,7 @@ def _views_impl(buf: GaussianBuffer, w2cs: jnp.ndarray, chunk: int, scale: float
             # 120deg views frustum-cull ~2/3 of the map and carry ~1-tile
             # spans: true membership totals sit near 0.5N, so offer small
             # CSR budget rungs (each entry-sized op costs O(rung))
-            exact_ladder=(0.25, 0.5, 1.0),
+            exact_ladder=(0.5, 1.0, 2.0),
         )
         return out.rgb, out.depth, out.alpha
 

@@ -236,7 +236,7 @@ def _topdown_binary(
         backend=backend,
         exact=k_per_tile > 0,
         # the height slice deactivates most of the map: small CSR rungs fit
-        exact_ladder=(0.25, 0.5, 1.0),
+        exact_ladder=(0.5, 1.0, 2.0),
     )
     full = render_jit(
         buf,
