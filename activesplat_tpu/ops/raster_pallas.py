@@ -492,36 +492,43 @@ def blend_csr_pallas(
 def _bin_slots_kernel(
     off_ref, cum_ref, planes_ref, idx_ref, *, tiles_x: int, blk: int, n: int
 ):
+    # Column-oriented layout throughout: Mosaic only allows blocks whose last
+    # two dims are (8k, 128k) or whole-array, so the per-tile cumsum arrives
+    # as a (1, 1, nb) ROW block and every per-slot vector is a (kc, 1) COLUMN
+    # (slots on sublanes) — reductions over nb/blk land on the lane axis and
+    # nothing ever needs an in-kernel transpose. The in-block prefix scan is
+    # an MXU matmul against a triangular ones matrix (exact: f32 accum of
+    # 0/1 values).
     t = pl.program_id(0)
-    kc = pl.program_id(1)  # slot-chunk index (bounds VMEM at large nb)
+    kc_i = pl.program_id(1)  # slot-chunk index (bounds VMEM at large nb)
     ttx = (t % tiles_x).astype(jnp.float32)
     tty = (t // tiles_x).astype(jnp.float32)
-    cum = cum_ref[...]  # (nb, 1) int32: inclusive block cumsum of this tile
-    nb = cum.shape[0]
-    k = idx_ref.shape[1]
-    count_full = cum[nb - 1, 0]
+    cum = cum_ref[0]  # (1, nb) int32: inclusive block cumsum of this tile
+    nb = cum.shape[1]
+    kc = idx_ref.shape[2]
+    count_full = cum[0, nb - 1]
 
     ks = (
         off_ref[0]
-        + kc * k
-        + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    )  # (1, K) global slot ids of this chunk
-    cmp = cum <= ks  # (nb, K): blocks fully before slot k
-    blk_idx = jnp.sum(cmp.astype(jnp.int32), axis=0, keepdims=True)  # (1, K)
+        + kc_i * kc
+        + jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0)
+    )  # (kc, 1) global slot ids of this chunk
+    cmp = cum <= ks  # (kc, nb): blocks fully before slot k
+    blk_idx = jnp.sum(cmp.astype(jnp.int32), axis=1, keepdims=True)  # (kc, 1)
     blk_safe = jnp.minimum(blk_idx, nb - 1)
     prior = jnp.max(
-        jnp.where(cmp, cum, 0), axis=0, keepdims=True
-    )  # (1, K) members before the chosen block (cumsum is nondecreasing)
+        jnp.where(cmp, cum, 0), axis=1, keepdims=True
+    )  # (kc, 1) members before the chosen block (cumsum is nondecreasing)
 
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) == blk_safe
-    ).astype(jnp.bfloat16)  # (nb, K)
+        jax.lax.broadcasted_iota(jnp.int32, (kc, nb), 1) == blk_safe
+    ).astype(jnp.bfloat16)  # (kc, nb)
 
-    def fetch(plane):  # (blk, nb) bf16 @ (nb, K) bf16 -> (blk, K) f32
+    def fetch(plane):  # (kc, nb) bf16 x (blk, nb) bf16 -> (kc, blk) f32
         return jax.lax.dot_general(
-            plane,
             onehot,
-            (((1,), (0,)), ((), ())),
+            plane,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -530,14 +537,23 @@ def _bin_slots_kernel(
         & (ttx <= fetch(planes_ref[1]))
         & (fetch(planes_ref[2]) <= tty)
         & (tty <= fetch(planes_ref[3]))
-    )  # (blk, K) membership of the block's gaussians in this tile
-    local_cum = _prefix_scan_inclusive(bits.astype(jnp.int32))  # (blk, K)
-    needed = ks - prior + 1  # (1, K)
+    )  # (kc, blk) membership of the block's gaussians in this tile
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    ).astype(jnp.bfloat16)
+    local_cum = jax.lax.dot_general(  # (kc, blk) inclusive prefix over blk
+        bits.astype(jnp.bfloat16),
+        tri,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    needed = (ks - prior + 1).astype(jnp.float32)  # (kc, 1)
     pos = jnp.sum(
-        (local_cum < needed).astype(jnp.int32), axis=0, keepdims=True
-    )  # (1, K) position of the needed-th set bit
+        (local_cum < needed).astype(jnp.int32), axis=1, keepdims=True
+    )  # (kc, 1) position of the needed-th set bit
     idx = blk_safe * blk + pos
-    idx_ref[...] = jnp.where(ks < count_full, idx, n)
+    idx_ref[0, 0] = jnp.where(ks < count_full, idx, n)
 
 
 @functools.partial(
@@ -568,26 +584,35 @@ def bin_slots_pallas(
     assert k % 128 == 0, k
     off = jnp.asarray(slot_offset, jnp.int32).reshape(1)
 
-    # bound the (nb, kc) int32 compare + (nb, kc) bf16 one-hot to ~2.5 MB
+    # bound the (kc, nb) int32 compare + (kc, nb) bf16 one-hot to ~2.5 MB
     kc = k
     while kc > 128 and nb * kc > 2048 * 256:
         kc //= 2
     n_chunks = k // kc
 
+    # (T, 1, nb) row layout: Mosaic requires the last two BLOCK dims to be
+    # (8k, 128k)-divisible or whole-array — a (nb, 1) column block of the
+    # natural (nb, T) cumsum is illegal, a (1, 1, nb) row block is not.
+    cum_rows = cum_t.T.reshape(n_tiles, 1, nb)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((nb, 1), lambda t, c, off: (0, t)),
+            pl.BlockSpec((1, 1, nb), lambda t, c, off: (t, 0, 0)),
             # constant index map: the byte planes stay VMEM-resident across
             # all grid steps instead of being re-fetched per tile
             pl.BlockSpec((4, blk, nb), lambda t, c, off: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, kc), lambda t, c, off: (t, c)),
+        # 4-D so the per-step write is a legal whole-(kc, 1) block; slots of
+        # chunk c are rows [c * kc, (c + 1) * kc), so the reshape below
+        # restores the (T, K) slot order exactly
+        out_specs=pl.BlockSpec((1, 1, kc, 1), lambda t, c, off: (t, c, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_bin_slots_kernel, tiles_x=tiles_x, blk=blk, n=n),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, k), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_chunks, kc, 1), jnp.int32),
         interpret=interpret,
-    )(off, cum_t, planes)
+    )(off, cum_rows, planes)
+    return out.reshape(n_tiles, k)
