@@ -106,6 +106,15 @@ class MapperConfig:
     k_per_tile_max: int = 1024
     k_overflow_tolerance: int = 0
     k_overflow_patience: int = 3
+    # Escalation (and its ceiling warning) only engages once the map holds at
+    # least this many active Gaussians. Rationale: doubling k costs a full
+    # program recompile (30-120 s on this 1-core host) that only pays off on
+    # production-scale maps; tiny scenes — unit tests, the multichip dryrun,
+    # smoke episodes — trip the harmful-drop counter on a handful of big
+    # splats and would churn k for no quality gain (MULTICHIP_r03 doubled k
+    # on a 4096-Gaussian dryrun). Hardware runs initialize one Gaussian per
+    # pixel (>= 65k at 256px) and are unaffected.
+    k_overflow_min_active: int = 8192
     # Online progress PSNR/depth-L1 from an exact (uncapped) re-render of the
     # current frame rather than the k-truncated training render. The training
     # render reads up to ~8 dB low on dense maps at the k ceiling (harmful

@@ -210,6 +210,10 @@ class SplaTAMMapper:
         if self._overflow_streak < self.cfg.k_overflow_patience:
             return
         self._overflow_streak = 0
+        # Gate checked only at would-escalate time: num_active() is a device
+        # fetch, and the relay charges ~1 ms per eager roundtrip.
+        if int(self.buf.num_active()) < self.cfg.k_overflow_min_active:
+            return  # tiny scene: a recompile costs more than the truncation
         if self.cfg.k_per_tile >= self.cfg.k_per_tile_max:
             if frame_id - self._overflow_warned_frame >= 50:
                 self._overflow_warned_frame = frame_id
@@ -392,6 +396,8 @@ class SplaTAMMapper:
                 "psnr": float(np.asarray(metrics["psnr"])[-1]),
                 "depth_l1": float(np.asarray(metrics["depth_l1"])[-1]),
                 "dropped": int(np.max(np.asarray(metrics["dropped"]))),
+                "rgb_l1": float(np.asarray(metrics["rgb_l1"])[-1]),
+                "ssim": float(np.asarray(metrics["ssim"])[-1]),
             }
             if self.cfg.exact_online_metrics and self.cfg.k_per_tile > 0:
                 # Honest progress numbers: the k-truncated training render

@@ -270,12 +270,14 @@ def mapping_phase(
         from activesplat_tpu.parallel.sharded import sharded_mapping_loss
 
         def sharded_loss(params, buf_c, cam_i, im, dep, cfg):
-            loss, (radii, psnr_v, depth_l1, dropped) = sharded_mapping_loss(
-                params, buf_c, cam_i, im, dep, cfg, mesh, backend
+            loss, (radii, psnr_v, depth_l1, dropped, rgb_l1, ssim_v) = (
+                sharded_mapping_loss(
+                    params, buf_c, cam_i, im, dep, cfg, mesh, backend
+                )
             )
             aux = LossAux(
-                rgb_l1=jnp.float32(0.0), depth_l1=depth_l1,
-                ssim=jnp.float32(0.0), radii=radii, psnr=psnr_v,
+                rgb_l1=rgb_l1, depth_l1=depth_l1,
+                ssim=ssim_v, radii=radii, psnr=psnr_v,
                 dropped=dropped,
             )
             return loss, aux
@@ -315,17 +317,21 @@ def mapping_phase(
                 + jnp.where(seen, jnp.linalg.norm(g_tap, axis=-1), 0.0),
                 denom=buf_n.denom + seen.astype(jnp.float32),
             )
-        return (buf_n, opt_n), (loss, aux.psnr, aux.depth_l1, aux.dropped)
+        return (buf_n, opt_n), (
+            loss, aux.psnr, aux.depth_l1, aux.dropped, aux.rgb_l1, aux.ssim
+        )
 
     keys = jax.random.split(key_iters, num_iters)
-    (buf, _), (losses, psnrs, depth_l1s, droppeds) = jax.lax.scan(
-        body, (buf, opt_state), keys
+    (buf, _), (losses, psnrs, depth_l1s, droppeds, rgb_l1s, ssims) = (
+        jax.lax.scan(body, (buf, opt_state), keys)
     )
     metrics = {
         "loss": losses,
         "psnr": psnrs,
         "depth_l1": depth_l1s,
         "dropped": droppeds,
+        "rgb_l1": rgb_l1s,
+        "ssim": ssims,
         "num_window": n_valid,
     }
     return buf, store, metrics

@@ -269,7 +269,9 @@ def sharded_mapping_loss(
     loss = cfg.loss_w_im * (0.8 * rgb_l1 + 0.2 * (1.0 - ssim_val)) + (
         cfg.loss_w_depth * depth_l1
     )
-    return loss, (radii, psnr(rgb, im_gt), depth_l1, dropped)
+    # rgb_l1/ssim are cheap replicated reductions — return them so mesh-path
+    # logs carry the same fields as single-device LossAux rows
+    return loss, (radii, psnr(rgb, im_gt), depth_l1, dropped, rgb_l1, ssim_val)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "backend"))
@@ -286,8 +288,8 @@ def sharded_mapping_step(
     """One full multi-chip training step: sharded render, loss, backward
     (reduce-scatter + replicate of parameter grads), per-group Adam update."""
     grad_fn = jax.value_and_grad(sharded_mapping_loss, has_aux=True)
-    (loss, (radii, psnr_val, depth_l1, dropped)), grads = grad_fn(
-        buf.params, buf, cam, im_gt, depth_gt, cfg, mesh, backend
+    (loss, (radii, psnr_val, depth_l1, dropped, rgb_l1, ssim_val)), grads = (
+        grad_fn(buf.params, buf, cam, im_gt, depth_gt, cfg, mesh, backend)
     )
     new_params, opt_state = adam_update(
         buf.params, grads, opt_state, lr_pytree(cfg), cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
@@ -298,5 +300,6 @@ def sharded_mapping_step(
         max_radius=jnp.where(seen, jnp.maximum(buf.max_radius, radii), buf.max_radius),
     )
     return buf, opt_state, {
-        "loss": loss, "psnr": psnr_val, "depth_l1": depth_l1, "dropped": dropped
+        "loss": loss, "psnr": psnr_val, "depth_l1": depth_l1,
+        "dropped": dropped, "rgb_l1": rgb_l1, "ssim": ssim_val,
     }

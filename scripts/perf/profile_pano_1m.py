@@ -28,7 +28,7 @@ def fetch(x):
 
 
 def main():
-    buf, cam = bench.build_map(N, 256, 256)
+    buf, *_ = bench.build_map(N, 256, 256)
     print(f"map: {N} gaussians, backend={jax.default_backend()}", flush=True)
 
     c2w = np.eye(4)

@@ -36,7 +36,15 @@ def timeit(fn, *args, n=30, label=""):
     @jax.jit
     def run(*a):
         def step(_, carry):
-            out = fn(*a)
+            # perturb the (float) first arg with a zero derived from the
+            # carry so the body depends on it — otherwise XLA loop-invariant
+            # code motion could hoist the whole bin out of the loop and the
+            # reported ms/call would measure one call plus n adds
+            eps = (
+                jax.tree.leaves(carry)[0].reshape(-1)[0].astype(jnp.float32)
+                * 0.0
+            )
+            out = fn(a[0] + eps, *a[1:])
             return jax.tree.map(lambda c, o: c + o.astype(c.dtype), carry, out)
 
         z = jax.tree.map(
@@ -58,6 +66,17 @@ def timeit(fn, *args, n=30, label=""):
 def case(n, n_valid, k, res, label):
     mean2d, radius, valid = synth(n, n_valid, res=res)
     print(f"== {label}: N={n} valid={n_valid} k={k} res={res}", flush=True)
+
+    # mirror the kernel's static gate (raster_tiled.py bin_gaussians): when
+    # it doesn't hold, use_kernel=True silently falls back to XLA and the
+    # 'pallas' row below times XLA against itself — flag that loudly
+    nb = -(-n // 128)
+    if nb > 4096 or k % 128 != 0:
+        print(
+            f"  NOTE: kernel gate fails (nb={nb} > 4096 or k % 128 != 0) — "
+            "'pallas' rows below actually run the XLA fallback",
+            flush=True,
+        )
 
     xla = jax.jit(
         lambda m, r, v: bin_gaussians(m, r, v, res, res, k, backend="xla")

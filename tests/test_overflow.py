@@ -140,6 +140,7 @@ def test_mapper_escalates_k_per_tile(capsys):
         k_per_tile=16,
         k_per_tile_max=64,
         k_overflow_patience=2,
+        k_overflow_min_active=0,  # engage escalation on this tiny scene
     )
     mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
     run_frames(mapper, n_frames=3)  # frame 0 saturates (no harmful drops);
@@ -164,11 +165,38 @@ def test_mapper_warns_at_ceiling(capsys):
         k_per_tile=16,
         k_per_tile_max=16,  # already at the ceiling: cannot escalate
         k_overflow_patience=1,
+        k_overflow_min_active=0,
     )
     mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
     run_frames(mapper, n_frames=2)
     assert mapper.cfg.k_per_tile == 16
     assert "WARNING: tile lists overflowing" in capsys.readouterr().out
+
+
+def test_tiny_scene_does_not_escalate_by_default(capsys):
+    """Default k_overflow_min_active keeps small scenes (tests, the multichip
+    dryrun) from churning k: same overflow as test_mapper_escalates_k_per_tile
+    but with the default gate — harmful drops are counted yet k stays put and
+    no recompile-triggering escalation fires (VERDICT r3 weak #7)."""
+    cfg = MapperConfig(
+        initial_capacity=1 << 11,
+        max_capacity=1 << 12,
+        keyframe_capacity=8,
+        map_every=1,
+        kf_every=1,
+        mapping_iters=1,
+        mapping_window_size=4,
+        chunk=64,
+        kf_select_pixels=64,
+        k_per_tile=16,
+        k_per_tile_max=64,
+        k_overflow_patience=2,
+    )
+    mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
+    run_frames(mapper, n_frames=3)
+    assert mapper.last_metrics["dropped"] > 0
+    assert mapper.cfg.k_per_tile == 16  # gate held: ~1k active < 8192
+    assert "escalating k_per_tile" not in capsys.readouterr().out
 
 
 def test_no_escalation_without_overflow():

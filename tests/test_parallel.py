@@ -101,6 +101,14 @@ def test_mapping_phase_on_mesh_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(m_mesh["loss"]), np.asarray(m_single["loss"]), atol=1e-5
     )
+    # mesh-path metric parity: rgb_l1/ssim must be real values, not the
+    # zero-fill the sharded aux used to carry (VERDICT r3 weak #4)
+    for field in ("rgb_l1", "ssim", "psnr", "depth_l1"):
+        np.testing.assert_allclose(
+            np.asarray(m_mesh[field]), np.asarray(m_single[field]), atol=1e-4,
+            err_msg=field,
+        )
+    assert float(np.asarray(m_mesh["ssim"])[-1]) != 0.0
     np.testing.assert_allclose(
         np.asarray(buf_mesh.params.means3d),
         np.asarray(buf_single.params.means3d),
