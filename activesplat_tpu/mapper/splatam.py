@@ -147,6 +147,15 @@ class SplaTAMMapper:
         # re-renders topdown maps when a fresh GaussianPacket arrives
         # (visualizer.py:926-939), not per planner tick.
         self.map_version = 0
+        # Per-version change AABBs: each buffer mutation logs the AABB of the
+        # mutating frame's valid-depth point cloud (a superset of where new
+        # Gaussians were inserted, and a good proxy for where optimization
+        # acts — the keyframe window overlaps the current view). Panorama
+        # score caches use aabb_since() to skip re-scoring nodes whose
+        # visible reach cannot intersect any change (mapper_node._get_opacity).
+        self._change_log: List[tuple] = []  # [(version, (2,3) aabb), ...]
+        self._change_log_floor = 0  # versions <= floor have been trimmed
+        self._change_log_cap = 4096
         self.scene_radius: float = 1.0
         self.est_c2w: List[np.ndarray] = []
         self.gt_w2c_rel: List[np.ndarray] = []  # gradslam-convention relative w2c
@@ -467,8 +476,43 @@ class SplaTAMMapper:
 
         if self.buf is not buf_before:
             self.map_version += 1
+            self._log_change(depth, c2w)
         self.mapping_frame_time_sum += time.time() - t_frame
         self.mapping_frame_time_count += 1
+
+    def _log_change(self, depth: np.ndarray, c2w: np.ndarray) -> None:
+        """Record the current frame's cloud AABB against the new map_version
+        (host numpy — ~1 ms at 256px, no device traffic)."""
+        fx, fy = self.intrinsics[0, 0], self.intrinsics[1, 1]
+        cx, cy = self.intrinsics[0, 2], self.intrinsics[1, 2]
+        v, u = np.nonzero(depth > 0)
+        if len(v) == 0:
+            p = c2w[:3, 3][None]
+        else:
+            z = depth[v, u].astype(np.float64)
+            x = (u - cx) / fx * z
+            y = (v - cy) / fy * z
+            p = np.stack([x, y, z], -1) @ c2w[:3, :3].T + c2w[:3, 3]
+        self._change_log.append(
+            (self.map_version, np.stack([p.min(0), p.max(0)]))
+        )
+        if len(self._change_log) > self._change_log_cap:
+            drop = len(self._change_log) - self._change_log_cap
+            self._change_log_floor = self._change_log[drop - 1][0]
+            del self._change_log[:drop]
+
+    def aabb_since(self, version: int) -> Optional[np.ndarray]:
+        """Union AABB of all map changes with map_version > `version`, or
+        None when unknowable (changes that old were trimmed from the log).
+        An empty range returns a degenerate inverted box that intersects
+        nothing."""
+        if version < self._change_log_floor:
+            return None
+        boxes = [b for v, b in self._change_log if v > version]
+        if not boxes:
+            return np.array([[np.inf] * 3, [-np.inf] * 3])
+        arr = np.stack(boxes)
+        return np.stack([arr[:, 0].min(0), arr[:, 1].max(0)])
 
     # ------------------------------------------------------------------ #
 

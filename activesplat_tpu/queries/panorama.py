@@ -155,6 +155,9 @@ def render_panorama(
     return rgb, depth, invis
 
 
+ALPHA_SOLID = 0.7  # pano pixel counts as converged surface above this
+
+
 def global_invisibility(
     buf: GaussianBuffer,
     view_c2w: np.ndarray,
@@ -162,12 +165,19 @@ def global_invisibility(
     chunk: int = 256,
     scale: float = 1.0,
     mesh=None,
-) -> List[Tuple[float, float]]:
-    """Per-node (sum_invisibility, hole_volume) scores. All N x 3 views render
-    in a single batched device call; hole scoring (DBSCAN + ConvexHull) runs
-    on host over the tiny panoramas (get_global_invisibility semantics,
-    splatam/__init__.py:697-759: node position replaces the camera's
-    horizontal position, height/orientation kept from the current frame)."""
+) -> List[Tuple[float, float, float]]:
+    """Per-node (sum_invisibility, hole_volume, reach) scores. All N x 3
+    views render in a single batched device call; hole scoring (DBSCAN +
+    ConvexHull) runs on host over the tiny panoramas (get_global_invisibility
+    semantics, splatam/__init__.py:697-759: node position replaces the
+    camera's horizontal position, height/orientation kept from the current
+    frame).
+
+    `reach` is the cache-invalidation radius for this node's score: the max
+    rendered depth over pixels whose alpha >= ALPHA_SOLID, or +inf when any
+    pixel is still a hole (alpha below it) — content appearing at ANY
+    distance through a hole can change the score, while a fully solid
+    panorama can only be affected by map changes within its visible depth."""
     node_positions = np.asarray(node_positions, np.float64).reshape(-1, 3)
     n = len(node_positions)
     if n == 0:
@@ -225,14 +235,17 @@ def global_invisibility(
     results = []
     for i in range(n):
         if skip[i]:
-            results.append((0.0, 0.0))
+            results.append((0.0, 0.0, 0.0))
             continue
         pano_depth = np.concatenate(depth[i], axis=1)
-        pano_invis = 1.0 - np.concatenate(alpha[i], axis=1)
+        pano_alpha = np.concatenate(alpha[i], axis=1)
+        pano_invis = 1.0 - pano_alpha
         inv_sum, volume = get_convexhull_volume(
             pano_depth, pano_invis, vfov_deg=PANO_VFOV_DEG
         )
-        results.append((float(inv_sum), float(volume)))
+        solid = pano_alpha >= ALPHA_SOLID
+        reach = float(pano_depth.max()) if solid.all() else float("inf")
+        results.append((float(inv_sum), float(volume), reach))
     return results
 
 

@@ -43,6 +43,9 @@ class MapperNode:
         pano_scale: float = 1.0,
         record_view_every: int = 100,
         live_view_port: Optional[int] = None,
+        pano_cache: str = "reach",  # off | version | reach
+        pano_cache_margin: float = 0.25,
+        pano_cache_max_age: int = 200,
     ) -> None:
         self.bus = bus
         self.dataset = dataset
@@ -84,6 +87,29 @@ class MapperNode:
         )
         self.movement_fail_times = 0
         self._topdown_cache: Optional[tuple] = None  # (map_version, free, unobs)
+        # Panorama score cache (get_opacity GLOBAL): the reference re-renders
+        # every node's 3-view panorama on every SELECT_TARGET tick
+        # (splatam/__init__.py:697-759) — at ~150 ms/view that dominated the
+        # r03 episode's planner time (27.6 s/call). Keyed on the quantized
+        # node position; modes:
+        #   "off"     — always fresh (reference behavior);
+        #   "version" — reuse iff mapper.map_version is unchanged (exact);
+        #   "reach"   — additionally reuse across map changes when every
+        #               change AABB since the cached version lies beyond the
+        #               node's visible reach (+margin): a fully solid
+        #               panorama can only be affected by changes within its
+        #               rendered depth, while any hole pixel forces a
+        #               re-score (reach = inf, see queries/panorama.py).
+        # Orientation note: panoramas start at the CURRENT camera yaw; the
+        # 360deg score sum is yaw-invariant up to pixel rasterization, so
+        # position-keyed reuse across ticks is sound.
+        assert pano_cache in ("off", "version", "reach"), pano_cache
+        self.pano_cache_mode = pano_cache
+        self.pano_cache_margin = float(pano_cache_margin)
+        self.pano_cache_max_age = int(pano_cache_max_age)
+        self._pano_cache: Dict[tuple, dict] = {}
+        self.pano_cache_hits = 0
+        self.pano_cache_misses = 0
         self.last_frame: Optional[Dict[str, np.ndarray]] = frame0
         self._finished = False
         self.recorder = None
@@ -302,8 +328,7 @@ class MapperNode:
         view_c2w = np.asarray(self.last_frame["c2w"], np.float64)
         if arrived_flag:
             positions = np.asarray(nodes, np.float64).reshape(-1, 3)
-            with stage("queries/panorama_global"):
-                scores = self.mapper.get_global_invisibility(view_c2w, positions)
+            scores = self._global_scores_cached(view_c2w, positions)
             return {
                 "targets_frustums_invisibility": [s[0] for s in scores],
                 "targets_frustums_volume": [s[1] for s in scores],
@@ -324,6 +349,58 @@ class MapperNode:
             "targets_frustums_invisibility": [total],
             "targets_frustums_volume": [0.0],
         }
+
+    def _global_scores_cached(self, view_c2w, positions):
+        """Per-node (invisibility, volume) with the position-keyed score
+        cache; only stale nodes are re-rendered (one batched device call)."""
+        n = len(positions)
+        ver = self.mapper.map_version
+        results: list = [None] * n
+        need: list = []
+        for i, pos in enumerate(positions):
+            if np.all(pos == 0):  # reference skip semantics (zero node)
+                results[i] = (0.0, 0.0)
+                continue
+            # node pano height is the agent camera height, x/z from the node
+            p3d = np.array([pos[0], view_c2w[1, 3], pos[2]])
+            key = tuple(np.round(p3d / 0.05).astype(int))
+            e = self._pano_cache.get(key)
+            fresh = False
+            if e is not None and self.pano_cache_mode != "off":
+                if e["version"] == ver:
+                    fresh = True
+                elif (
+                    self.pano_cache_mode == "reach"
+                    and np.isfinite(e["reach"])
+                    and ver - e["version"] <= self.pano_cache_max_age
+                ):
+                    aabb = self.mapper.aabb_since(e["version"])
+                    if aabb is not None:
+                        # distance from the node to the union change box
+                        d = np.linalg.norm(
+                            np.maximum(
+                                0.0,
+                                np.maximum(aabb[0] - p3d, p3d - aabb[1]),
+                            )
+                        )
+                        fresh = d > e["reach"] + self.pano_cache_margin
+            if fresh:
+                results[i] = (e["inv"], e["vol"])
+                self.pano_cache_hits += 1
+            else:
+                need.append((i, key))
+                self.pano_cache_misses += 1
+        if need:
+            with stage("queries/panorama_global"):
+                scores = self.mapper.get_global_invisibility(
+                    view_c2w, positions[[i for i, _ in need]]
+                )
+            for (i, key), (inv, vol, reach) in zip(need, scores):
+                results[i] = (inv, vol)
+                self._pano_cache[key] = {
+                    "version": ver, "inv": inv, "vol": vol, "reach": reach,
+                }
+        return results
 
     def _set_mapper(self, kf_every: int = 0, map_every: int = 0) -> Dict[str, int]:
         old = {

@@ -1,0 +1,167 @@
+"""Panorama score cache (MapperNode._get_opacity GLOBAL): equivalence with
+fresh scoring when the map is unchanged, reach-based reuse across map
+changes, and invalidation when changes land within a node's visible reach
+(VERDICT r3 next-round item 2; reference re-renders every node per tick,
+splatam/__init__.py:697-759)."""
+
+import numpy as np
+
+from activesplat_tpu.mapper.config import MapperConfig
+from activesplat_tpu.runtime.bus import Bus
+from activesplat_tpu.runtime.dataloader import RGBDSensor, SyntheticDataset
+from activesplat_tpu.runtime.mapper_node import MapperNode
+from activesplat_tpu.runtime.synthetic import BoxWorld
+
+
+def make_node(tmp_path, pano_cache="reach", **kw):
+    world = BoxWorld.single_room(seed=3)
+    sensor = RGBDSensor.from_fov(48, 48, 90.0, depth_min=0.0, depth_max=10.0)
+    dataset = SyntheticDataset(
+        world,
+        sensor,
+        step_num=40,
+        start_position=np.array([3.0, 0.0, 3.0]),
+        results_dir=str(tmp_path),
+        scene_id="pano-cache",
+    )
+    cfg = MapperConfig(
+        initial_capacity=1 << 12,
+        max_capacity=1 << 13,
+        keyframe_capacity=16,
+        mapping_iters=2,
+        map_every=2,
+        kf_every=2,
+        mapping_window_size=4,
+        chunk=128,
+        kf_select_pixels=128,
+    )
+    node = MapperNode(
+        Bus(),
+        dataset,
+        cfg,
+        str(tmp_path),
+        pixel_max=56,
+        pano_scale=0.4,
+        save_dataset=False,
+        pano_cache=pano_cache,
+        **kw,
+    )
+    return node
+
+
+NODES = np.array([[2.5, 0.0, 2.5], [3.5, 0.0, 3.0], [0.0, 0.0, 0.0]])
+
+
+def count_rendered(node, monkeypatch):
+    """Wrap the mapper's panorama renderer with a per-call node counter."""
+    calls = []
+    orig = node.mapper.get_global_invisibility
+
+    def wrapped(view_c2w, positions):
+        calls.append(len(positions))
+        return orig(view_c2w, positions)
+
+    monkeypatch.setattr(node.mapper, "get_global_invisibility", wrapped)
+    return calls
+
+
+def test_cached_equals_fresh_when_unchanged(tmp_path, monkeypatch):
+    node = make_node(tmp_path)
+    calls = count_rendered(node, monkeypatch)
+    r1 = node._get_opacity(True, NODES, nodes_id=[0, 1, 2])
+    assert calls == [2]  # zero node skipped, 2 rendered
+    r2 = node._get_opacity(True, NODES, nodes_id=[0, 1, 2])
+    assert calls == [2]  # all hits: nothing re-rendered
+    np.testing.assert_array_equal(
+        r1["targets_frustums_invisibility"], r2["targets_frustums_invisibility"]
+    )
+    np.testing.assert_array_equal(
+        r1["targets_frustums_volume"], r2["targets_frustums_volume"]
+    )
+    assert node.pano_cache_hits == 2 and node.pano_cache_misses == 2
+
+
+def test_cache_off_rerenders(tmp_path, monkeypatch):
+    node = make_node(tmp_path, pano_cache="off")
+    calls = count_rendered(node, monkeypatch)
+    node._get_opacity(True, NODES)
+    node._get_opacity(True, NODES)
+    assert calls == [2, 2]
+
+
+def test_version_mode_invalidates_on_map_change(tmp_path, monkeypatch):
+    node = make_node(tmp_path, pano_cache="version")
+    calls = count_rendered(node, monkeypatch)
+    node._get_opacity(True, NODES)
+    # mutate the map: step once (map_every=2 -> frame 1 densifies)
+    from activesplat_tpu.runtime.dataloader import action_to_twist, SimAction
+
+    ver0 = node.mapper.map_version
+    node._on_cmd_vel(action_to_twist(SimAction.MOVE_FORWARD))
+    assert node.mapper.map_version > ver0
+    node._get_opacity(True, NODES)
+    assert calls == [2, 2]  # version mode: map changed -> full re-render
+
+
+def test_reach_mode_invalidates_nodes_with_holes(tmp_path, monkeypatch):
+    """Fresh maps have hole pixels everywhere (reach=inf), so a map change
+    must re-render — the reach cache only engages once panos are solid."""
+    node = make_node(tmp_path)
+    calls = count_rendered(node, monkeypatch)
+    node._get_opacity(True, NODES)
+    from activesplat_tpu.runtime.dataloader import action_to_twist, SimAction
+
+    node._on_cmd_vel(action_to_twist(SimAction.MOVE_FORWARD))
+    node._get_opacity(True, NODES)
+    # after a handful of frames the synthetic map is nowhere near solid:
+    # every cached reach is inf -> both nodes re-rendered
+    assert calls == [2, 2]
+
+
+def test_reach_mode_reuses_when_changes_are_out_of_reach(tmp_path):
+    """Engineer a solid cache entry with small reach and a far-away change:
+    the entry must be reused; a nearby change must invalidate it."""
+    node = make_node(tmp_path)
+    ver = node.mapper.map_version
+    # the pano height comes from the current frame's camera height
+    pos_key = tuple(
+        np.round(
+            np.array([2.5, node.last_frame["c2w"][1, 3], 2.5]) / 0.05
+        ).astype(int)
+    )
+    node._pano_cache[pos_key] = {
+        "version": ver, "inv": 7.0, "vol": 3.0, "reach": 1.0,
+    }
+    # simulate a map change far from the node (> reach + margin away)
+    node.mapper.map_version += 1
+    node.mapper._change_log.append(
+        (node.mapper.map_version, np.array([[20.0, 0.0, 20.0], [21.0, 1.0, 21.0]]))
+    )
+    out = node._get_opacity(True, np.array([[2.5, 0.0, 2.5]]))
+    assert out["targets_frustums_invisibility"] == [7.0]  # cached value reused
+    assert out["targets_frustums_volume"] == [3.0]
+    # now a change right at the node -> must re-score (value changes)
+    node.mapper.map_version += 1
+    node.mapper._change_log.append(
+        (node.mapper.map_version, np.array([[2.0, 0.0, 2.0], [3.0, 2.0, 3.0]]))
+    )
+    out2 = node._get_opacity(True, np.array([[2.5, 0.0, 2.5]]))
+    assert out2["targets_frustums_invisibility"] != [7.0]
+
+
+def test_trimmed_change_log_forces_rescore(tmp_path):
+    node = make_node(tmp_path)
+    ver = node.mapper.map_version
+    pos_key = tuple(
+        np.round(
+            np.array([2.5, node.last_frame["c2w"][1, 3], 2.5]) / 0.05
+        ).astype(int)
+    )
+    node._pano_cache[pos_key] = {
+        "version": ver, "inv": 7.0, "vol": 3.0, "reach": 1.0,
+    }
+    node.mapper.map_version += 5
+    node.mapper._change_log_floor = ver + 3  # entries that old were trimmed
+    assert node.mapper.aabb_since(ver) is None
+    out = node._get_opacity(True, np.array([[2.5, 0.0, 2.5]]))
+    assert out["targets_frustums_invisibility"] != [7.0]  # re-scored
