@@ -824,6 +824,28 @@ class SplaTAMMapper:
     # ------------------------------------------------------------------ #
     # knobs used by the set_mapper service (visualizer.py:2236-2254)
 
+    def truncation_bias(self) -> Optional[Dict[str, float]]:
+        """Quantify k_per_tile training-truncation bias from the online
+        metric record: per map frame, exact_online_metrics stores both the
+        k-truncated training render's psnr/depth_l1 (*_train) and the exact
+        render's (VERDICT r3 item 3 — the CUDA reference's dynamic tile lists
+        are uncapped, splatam.py:208-212, so its training loss sees every
+        splat; ours drops tile memberships past k and this measures what that
+        costs). psnr_delta == 0 means the cap was lossless."""
+        rows = [m for m in self.online_metrics if "psnr_train" in m]
+        if not rows:
+            return None
+        d_psnr = np.array([m["psnr"] - m["psnr_train"] for m in rows])
+        d_l1 = np.array([m["depth_l1_train"] - m["depth_l1"] for m in rows])
+        return {
+            "frames": len(rows),
+            "psnr_delta_mean": float(d_psnr.mean()),
+            "psnr_delta_last100_mean": float(d_psnr[-100:].mean()),
+            "psnr_delta_max": float(d_psnr.max()),
+            "depth_l1_delta_mean": float(d_l1.mean()),
+            "depth_l1_delta_last100_mean": float(d_l1[-100:].mean()),
+        }
+
     def get_kf_every(self) -> int:
         return int(self.kf_every)
 

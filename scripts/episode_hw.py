@@ -127,6 +127,12 @@ def main():
         "dropped_max": int(max(dropped_trace) if dropped_trace else 0),
         **{k: round(float(v), 4) for k, v in quality.items()},
         "stage_sums_s": stage_sums,  # {stage: [seconds, calls]}, loop stages
+        # k-ceiling gradient-bias ledger: exact-vs-truncated online deltas
+        "truncation_bias": mapper.truncation_bias(),
+        "pano_cache": {
+            "hits": mapper_node.pano_cache_hits,
+            "misses": mapper_node.pano_cache_misses,
+        },
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
