@@ -123,6 +123,13 @@ class MapperConfig:
     # Costs one forward render per mapping frame (~0.3 s at 900k Gaussians);
     # the truncated value is kept alongside as psnr_train/depth_l1_train.
     exact_online_metrics: bool = True
+    # Ship frames to the device quantized — RGB as uint8, depth as uint16
+    # millimeters — and convert on device. The raw f32 frame is ~1 MB at
+    # 256px and the axon relay moves ~10 MB/s, so f32 transfers cost ~100 ms
+    # of every mapped frame; quantized they cost ~33 ms. Both quantizations
+    # are at-or-below sensor precision (Habitat RGB is uint8-native; the
+    # dataset dump itself stores 16-bit mm depth, io/manifest.py).
+    quantize_frame_transfer: bool = True
     # multi-chip: shard training renders over whole tile rows of a 1D device
     # mesh when >1 device is visible (parallel/sharded.py; the mapper builds
     # the largest mesh dividing the image height). Off by default: the bench

@@ -129,6 +129,8 @@ def main():
         "stage_sums_s": stage_sums,  # {stage: [seconds, calls]}, loop stages
         # k-ceiling gradient-bias ledger: exact-vs-truncated online deltas
         "truncation_bias": mapper.truncation_bias(),
+        # every transition past the first is a recompile of the program set
+        "shape_history": mapper.shape_history,
         "pano_cache": {
             "hits": mapper_node.pano_cache_hits,
             "misses": mapper_node.pano_cache_misses,
