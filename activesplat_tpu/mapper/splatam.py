@@ -324,22 +324,23 @@ class SplaTAMMapper:
             self.dumper.add_frame(frame_id, rgb, depth, w2c)
 
         cam = self._camera(w2c)
-        if self.cfg.quantize_frame_transfer:
-            # 3x smaller host->device transfer through the ~10 MB/s relay;
-            # dequantized on device in one dispatch (_frame_to_device)
-            rgb_j, depth_j = _frame_to_device(
-                jnp.asarray(
-                    np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
-                ),
-                jnp.asarray(
-                    np.clip(np.round(depth * 1000.0), 0, 65535).astype(
-                        np.uint16
-                    )
-                ),
-            )
-        else:
-            rgb_j = jnp.asarray(rgb)
-            depth_j = jnp.asarray(depth)
+        with stage("mapper/frame_transfer"):
+            if self.cfg.quantize_frame_transfer:
+                # 3x smaller host->device transfer through the ~10 MB/s
+                # relay; dequantized on device in one dispatch
+                rgb_j, depth_j = _frame_to_device(
+                    jnp.asarray(
+                        np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                    ),
+                    jnp.asarray(
+                        np.clip(np.round(depth * 1000.0), 0, 65535).astype(
+                            np.uint16
+                        )
+                    ),
+                )
+            else:
+                rgb_j = jnp.asarray(rgb)
+                depth_j = jnp.asarray(depth)
 
         if frame_id == 0:
             with stage("mapper/first_frame"):
@@ -448,14 +449,15 @@ class SplaTAMMapper:
                 # One fused device program -> 2 scalar fetches (the separate
                 # render + host metrics moved ~1 MB of f32 per map frame
                 # through the ~10 MB/s relay).
-                ex = np.asarray(
-                    _exact_online_scores(
-                        self.buf, cam, rgb_j, depth_j,
-                        chunk=self.cfg.chunk,
-                        k_per_tile=self.cfg.k_per_tile,
-                        backend=forward_backend(),
-                    )
-                )  # one (2,) fetch
+                with stage("mapper/exact_online"):
+                    ex = np.asarray(
+                        _exact_online_scores(
+                            self.buf, cam, rgb_j, depth_j,
+                            chunk=self.cfg.chunk,
+                            k_per_tile=self.cfg.k_per_tile,
+                            backend=forward_backend(),
+                        )
+                    )  # one (2,) fetch
                 self.last_metrics["psnr_train"] = self.last_metrics["psnr"]
                 self.last_metrics["depth_l1_train"] = self.last_metrics[
                     "depth_l1"

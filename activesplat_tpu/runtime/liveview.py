@@ -31,10 +31,11 @@ pre{color:#8c8}</style></head><body>
 <img id=t src="/topdown.png" height=280>
 <img id=p src="/planner.png" height=280></div>
 <div><img id=s src="/subregions.png" height=200>
-<img id=o src="/panorama.png" height=200></div>
+<img id=o src="/panorama.png" height=200>
+<img id=g src="/map3d.png" height=200></div>
 <pre id=m></pre>
 <script>setInterval(()=>{for(const [i,u] of [['v','view'],['t','topdown'],
-['p','planner'],['s','subregions'],['o','panorama']])
+['p','planner'],['s','subregions'],['o','panorama'],['g','map3d']])
 document.getElementById(i).src='/'+u+'.png?'+Date.now();
 fetch('/metrics.json').then(r=>r.json()).then(j=>{
 document.getElementById('m').textContent=JSON.stringify(j,null,1)})},1000)
@@ -44,7 +45,7 @@ document.getElementById('m').textContent=JSON.stringify(j,null,1)})},1000)
 class LiveView:
     """Thread-safe latest-state store + HTTP server."""
 
-    IMAGES = ("view", "topdown", "planner", "subregions", "panorama")
+    IMAGES = ("view", "topdown", "planner", "subregions", "panorama", "map3d")
 
     def __init__(self, port: int = 0):
         self._lock = threading.Lock()
@@ -137,6 +138,14 @@ class LiveView:
             np.clip(arr / top * 255, 0, 255).astype(np.uint8), cv2.COLORMAP_VIRIDIS
         )
         self._put("panorama", img)
+
+    def update_map3d(self, rgb: np.ndarray):
+        """Latest orbit render of the live Gaussian map (trajectory overlay
+        baked in by the producer) — the headless counterpart of the
+        reference GUI's 3D map widget (visualizer.py:1515-1664)."""
+        if rgb.dtype != np.uint8:
+            rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        self._put("map3d", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
 
     def update_metrics(self, metrics: Dict):
         with self._lock:

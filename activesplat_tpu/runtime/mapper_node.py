@@ -87,6 +87,14 @@ class MapperNode:
         )
         self.movement_fail_times = 0
         self._topdown_cache: Optional[tuple] = None  # (map_version, free, unobs)
+        # /map3d.png state: orbit render of the live Gaussian map, refreshed
+        # on map_version change at the topdown polling cadence (headless
+        # counterpart of the reference GUI's 3D widget + trajectory,
+        # visualizer.py:1515-1664). The azimuth advances per refresh so the
+        # dashboard view orbits as the map evolves.
+        self._map3d_version = -1
+        self._map3d_azimuth = 0.0
+        self._trajectory: list = []
         # Panorama score cache (get_opacity GLOBAL): the reference re-renders
         # every node's 3-view panorama on every SELECT_TARGET tick
         # (splatam/__init__.py:697-759) — at ~150 ms/view that dominated the
@@ -140,6 +148,9 @@ class MapperNode:
     # ------------------------------------------------------------------ #
 
     def _publish_pose(self, frame: Dict[str, np.ndarray]) -> None:
+        self._trajectory.append(
+            np.asarray(frame["c2w"], np.float64)[:3, 3].copy()
+        )
         self.bus.publish("camera_pose", np.asarray(frame["c2w"], np.float64))
         self.bus.publish("movement_fail_times", self.movement_fail_times)
         if self.mapper.high_loss_samples_pose_c2w is not None:
@@ -263,6 +274,67 @@ class MapperNode:
     # ------------------------------------------------------------------ #
     # services
 
+    def _orbit_c2w(self, azimuth_rad: float) -> np.ndarray:
+        """OpenCV c2w orbiting the scene center at ~50 deg elevation, framed
+        from the topdown grid's bbox (so the whole explored slab is visible)."""
+        cfg = self.topdown_cfg
+        du, dv = cfg.world_dim_index
+        (u0, u1), (v0, v1) = cfg.world_2d_bbox
+        center = np.zeros(3)
+        center[du], center[dv] = cfg.world_center
+        center[cfg.height_axis] = 0.5 * (cfg.agent_foot + cfg.agent_head)
+        extent = max(u1 - u0, v1 - v0)
+        eye = center.copy()
+        eye[du] += 0.8 * extent * np.cos(azimuth_rad)
+        eye[dv] += 0.8 * extent * np.sin(azimuth_rad)
+        eye[cfg.height_axis] += 0.95 * extent
+        up = np.zeros(3)
+        up[cfg.height_axis] = 1.0
+        fwd = center - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+        return c2w
+
+    def _update_map3d(self, map_version: int) -> None:
+        """Refresh /map3d.png: one exact render of the full map from the
+        orbit camera, with the agent trajectory projected on top. Costs one
+        render per map change and only runs when the live view is enabled."""
+        if self.live_view is None or map_version == self._map3d_version:
+            return
+        self._map3d_version = map_version
+        self._map3d_azimuth += np.deg2rad(15.0)
+        c2w = self._orbit_c2w(self._map3d_azimuth)
+        w2c = np.linalg.inv(c2w)
+        view = self.mapper.render_view(self.mapper._camera(w2c))
+        img = (np.clip(view["rgb"], 0, 1) * 255).astype(np.uint8).copy()
+        if self._trajectory:
+            import cv2
+
+            pts = np.asarray(self._trajectory, np.float64)
+            pc = (w2c[:3, :3] @ pts.T).T + w2c[:3, 3]
+            K = self.mapper.intrinsics
+            z = pc[:, 2]
+            uv = np.stack(
+                [
+                    K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + K[0, 2],
+                    K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + K[1, 2],
+                ],
+                axis=1,
+            )
+            ok = z > 1e-3
+            # draw visible polyline segments (both endpoints in front)
+            ij = uv.astype(np.int32)
+            for a, b in zip(range(len(ij) - 1), range(1, len(ij))):
+                if ok[a] and ok[b]:
+                    cv2.line(img, tuple(ij[a]), tuple(ij[b]), (64, 200, 255), 1)
+            if ok[-1]:
+                cv2.circle(img, tuple(ij[-1]), 3, (255, 80, 80), -1)
+        self.live_view.update_map3d(img)
+
     def _get_topdown_config(self) -> Dict:
         cfg = self.topdown_cfg
         return {
@@ -293,6 +365,7 @@ class MapperNode:
                 self.recorder.save_topdown(free_binary, unobserved_binary)
             if self.live_view is not None:
                 self.live_view.update_topdown(free_binary, unobserved_binary)
+                self._update_map3d(ver)
         response = {
             "free_map": free_binary,
             "visible_map": unobserved_binary,

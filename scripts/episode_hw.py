@@ -20,6 +20,9 @@ Knobs via env:
   EP_KMAX     k_per_tile ceiling          (default 1024)
   EP_EXACT_ONLINE 1 = online PSNR/depth from exact renders (default 1)
   EP_STRIDE   eval frame stride           (default 10)
+  EP_WINDOW   mapping_window_size         (default: MapperConfig default;
+                                           the high-resolution protocol uses
+                                           12, gibson_high_resolution.json)
 """
 
 import json
@@ -61,6 +64,11 @@ def main():
         k_per_tile=int(os.environ.get("EP_K", 256)),
         k_per_tile_max=int(os.environ.get("EP_KMAX", 1024)),
         exact_online_metrics=bool(int(os.environ.get("EP_EXACT_ONLINE", 1))),
+        **(
+            {"mapping_window_size": int(os.environ["EP_WINDOW"])}
+            if "EP_WINDOW" in os.environ
+            else {}
+        ),
     )
     knobs = {
         "steps": steps, "scene": f"{scene}-{seed}", "res": res,

@@ -35,6 +35,7 @@ def test_endpoints_serve_latest_artifacts(live):
     live.update_planner(np.zeros((40, 40, 3), np.uint8))
     live.update_subregions(np.zeros((40, 40, 3), np.uint8))
     live.update_panorama(np.random.default_rng(0).uniform(0, 1, (30, 120)))
+    live.update_map3d(np.random.default_rng(0).uniform(0, 1, (32, 32, 3)))
     live.update_metrics({"step": 3, "psnr": 21.5})
     for name in LiveView.IMAGES:
         status, body = fetch(live, f"/{name}.png")
@@ -70,3 +71,6 @@ def test_planner_pushes_overlay_on_select(tmp_path):
     lv = mapper_node.live_view
     assert lv._get("planner") is not None
     assert lv._get("topdown") is not None
+    # the 3D map orbit view refreshes alongside the topdown on map change
+    assert lv._get("map3d") is not None
+    assert 0 <= mapper_node._map3d_version <= mapper_node.mapper.map_version
