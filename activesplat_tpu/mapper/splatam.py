@@ -545,18 +545,31 @@ class SplaTAMMapper:
             self._change_log_floor = self._change_log[drop - 1][0]
             del self._change_log[:drop]
 
+    def boxes_since(self, version: int) -> Optional[np.ndarray]:
+        """(M, 2, 3) per-frame change AABBs with map_version > `version`, or
+        None when unknowable (changes that old were trimmed from the log).
+        M == 0 means the map has not changed.
+
+        Kept per-box rather than unioned: each box is one frame's observed
+        cloud (localized), but the union over the ~10²-version gap between
+        SELECT_TARGET ticks covers most of a small scene, which made the
+        round-4 cold episode's reach cache score 0 hits in 192 lookups."""
+        if version < self._change_log_floor:
+            return None
+        boxes = [b for v, b in self._change_log if v > version]
+        return np.stack(boxes) if boxes else np.zeros((0, 2, 3))
+
     def aabb_since(self, version: int) -> Optional[np.ndarray]:
         """Union AABB of all map changes with map_version > `version`, or
         None when unknowable (changes that old were trimmed from the log).
         An empty range returns a degenerate inverted box that intersects
         nothing."""
-        if version < self._change_log_floor:
+        boxes = self.boxes_since(version)
+        if boxes is None:
             return None
-        boxes = [b for v, b in self._change_log if v > version]
-        if not boxes:
+        if len(boxes) == 0:
             return np.array([[np.inf] * 3, [-np.inf] * 3])
-        arr = np.stack(boxes)
-        return np.stack([arr[:, 0].min(0), arr[:, 1].max(0)])
+        return np.stack([boxes[:, 0].min(0), boxes[:, 1].max(0)])
 
     # ------------------------------------------------------------------ #
 

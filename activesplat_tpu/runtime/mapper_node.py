@@ -447,16 +447,27 @@ class MapperNode:
                     and np.isfinite(e["reach"])
                     and ver - e["version"] <= self.pano_cache_max_age
                 ):
-                    aabb = self.mapper.aabb_since(e["version"])
-                    if aabb is not None:
-                        # distance from the node to the union change box
+                    boxes = self.mapper.boxes_since(e["version"])
+                    if boxes is not None:
+                        # distance from the node to EACH change box: a node
+                        # stays fresh iff every individual change landed
+                        # beyond its reach. (Testing the union AABB instead
+                        # is uselessly conservative — over the ~10²-version
+                        # gap between SELECT_TARGET ticks the union covers
+                        # most of a small scene: 0/192 hits in the r04 cold
+                        # episode.)
                         d = np.linalg.norm(
                             np.maximum(
                                 0.0,
-                                np.maximum(aabb[0] - p3d, p3d - aabb[1]),
-                            )
+                                np.maximum(
+                                    boxes[:, 0] - p3d, p3d - boxes[:, 1]
+                                ),
+                            ),
+                            axis=-1,
                         )
-                        fresh = d > e["reach"] + self.pano_cache_margin
+                        fresh = bool(
+                            np.all(d > e["reach"] + self.pano_cache_margin)
+                        )
             if fresh:
                 results[i] = (e["inv"], e["vol"])
                 self.pano_cache_hits += 1

@@ -149,6 +149,37 @@ def test_reach_mode_reuses_when_changes_are_out_of_reach(tmp_path):
     assert out2["targets_frustums_invisibility"] != [7.0]
 
 
+def test_reach_checks_each_box_not_their_union(tmp_path):
+    """Two far-apart changes whose UNION AABB covers the node, each
+    individually out of reach: the entry must stay fresh (the r04 cold
+    episode's 0/192 hit rate came from testing the union)."""
+    node = make_node(tmp_path)
+    ver = node.mapper.map_version
+    pos_key = tuple(
+        np.round(
+            np.array([2.5, node.last_frame["c2w"][1, 3], 2.5]) / 0.05
+        ).astype(int)
+    )
+    node._pano_cache[pos_key] = {
+        "version": ver, "inv": 7.0, "vol": 3.0, "reach": 1.0,
+    }
+    # changes on opposite sides of the node, both ~17 m away; their union
+    # box spans [-20, 21] and contains the node at (2.5, 2.5)
+    node.mapper.map_version += 1
+    node.mapper._change_log.append(
+        (node.mapper.map_version, np.array([[20.0, 0.0, 20.0], [21.0, 3.0, 21.0]]))
+    )
+    node.mapper.map_version += 1
+    node.mapper._change_log.append(
+        (node.mapper.map_version, np.array([[-20.0, 0.0, -20.0], [-19.0, 3.0, -19.0]]))
+    )
+    p3d = np.array([2.5, node.last_frame["c2w"][1, 3], 2.5])
+    union = node.mapper.aabb_since(ver)
+    assert (union[0] <= p3d).all() and (union[1] >= p3d).all()  # union covers it
+    out = node._get_opacity(True, np.array([[2.5, 0.0, 2.5]]))
+    assert out["targets_frustums_invisibility"] == [7.0]  # still cached
+
+
 def test_trimmed_change_log_forces_rescore(tmp_path):
     node = make_node(tmp_path)
     ver = node.mapper.map_version
