@@ -157,6 +157,15 @@ def run_batch(
                     "path_length": report.path_length,
                 }
             )
+            # summary.json is rewritten after every run so a killed/timed-out
+            # set keeps the rows it finished (episodes cost tens of minutes
+            # each on a 1-core host)
+            _write_summary(scene_set, output_dir, results)
+    _write_summary(scene_set, output_dir, results)
+    return results
+
+
+def _write_summary(scene_set: str, output_dir: str, results: List[Dict]) -> None:
     summary = {
         "scene_set": scene_set,
         "runs": results,
@@ -169,4 +178,3 @@ def run_batch(
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
-    return results

@@ -35,6 +35,7 @@ import jax
 _lock = threading.Lock()
 _sums: Dict[str, float] = {}
 _counts: Dict[str, int] = {}
+_maxes: Dict[str, float] = {}
 
 
 @contextlib.contextmanager
@@ -47,6 +48,8 @@ def stage(name: str) -> Iterator[None]:
     with _lock:
         _sums[name] = _sums.get(name, 0.0) + dt
         _counts[name] = _counts.get(name, 0) + 1
+        if dt > _maxes.get(name, 0.0):
+            _maxes[name] = dt
 
 
 def stage_report() -> Dict[str, Tuple[float, int]]:
@@ -55,10 +58,22 @@ def stage_report() -> Dict[str, Tuple[float, int]]:
         return {k: (_sums[k], _counts[k]) for k in _sums}
 
 
+def stage_report_full() -> Dict[str, Tuple[float, int, float]]:
+    """{stage: (total_seconds, calls, max_call_seconds)}.
+
+    The max makes one-off relay hangs visible: the tunneled TPU
+    intermittently stalls a single dispatch for minutes (CLAUDE.md), which
+    otherwise silently inflates a stage sum — a stage whose max is tens of
+    times its mean was hit by a hang, not by steady-state cost."""
+    with _lock:
+        return {k: (_sums[k], _counts[k], _maxes[k]) for k in _sums}
+
+
 def reset_stages() -> None:
     with _lock:
         _sums.clear()
         _counts.clear()
+        _maxes.clear()
 
 
 def format_stage_report() -> str:

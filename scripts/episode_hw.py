@@ -86,11 +86,13 @@ def main():
     t0 = time.time()
     mapper_node, planner = run_episode(dataset, results_dir, mapper_cfg=cfg)
     wall = time.time() - t0
-    from activesplat_tpu.utils.tracing import stage_report
+    from activesplat_tpu.utils.tracing import stage_report_full
 
+    # [sum_s, calls, max_call_s]: the max flags one-off relay hangs (a stage
+    # whose max is >>mean was stalled by the tunnel, not steady-state cost)
     stage_sums = {
-        k: [round(s, 1), c] for k, (s, c) in sorted(
-            stage_report().items(), key=lambda kv: -kv[1][0]
+        k: [round(s, 1), c, round(mx, 1)] for k, (s, c, mx) in sorted(
+            stage_report_full().items(), key=lambda kv: -kv[1][0]
         )
     }
     mapper = mapper_node.mapper

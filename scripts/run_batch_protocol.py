@@ -53,10 +53,17 @@ def main():
 
     B.habitat_scene_specs = capped_specs
 
+    # Compile-light profile: every (capacity, k) transition recompiles the
+    # whole program set, and XLA:CPU compiles of the big programs run tens of
+    # minutes on this 1-core host (a capacity-growth recompile stalled the
+    # first protocol attempt for 37+ min at 99% CPU). One growth step, one k
+    # escalation, and no exact-online re-renders (coverage/accuracy are
+    # judged from replayed depth observations, not from map renders).
     mapper_cfg = MapperConfig(
-        initial_capacity=1 << 15, max_capacity=1 << 17, keyframe_capacity=64,
+        initial_capacity=1 << 15, max_capacity=1 << 16, keyframe_capacity=64,
         mapping_iters=2, map_every=5, kf_every=5,
         k_per_tile=128, k_per_tile_max=256,
+        exact_online_metrics=False,
     )
 
     overall = {}
@@ -68,17 +75,26 @@ def main():
             from activesplat_tpu.runtime.mock_habitat import make_mock_sim
 
             kwargs["sim_factory"] = make_mock_sim
-            # scene configs carry their own mapper block; let them rule
-            results = B.run_batch(set_name, out_dir, **kwargs)
-        else:
-            results = B.run_batch(
-                set_name, out_dir, mapper_cfg=mapper_cfg, **kwargs
-            )
+        # the compile-light profile overrides the scene configs' mapper
+        # blocks everywhere: gibson.json's capacities are sized for the TPU
+        # path and are compile-infeasible on XLA:CPU here (the override is
+        # recorded in the artifact's "protocol" block)
+        results = B.run_batch(
+            set_name, out_dir, mapper_cfg=mapper_cfg, **kwargs
+        )
         with open(os.path.join(out_dir, "summary.json")) as fh:
             summary = json.load(fh)
         summary["protocol"] = {
             "step_budget": steps, "res": res,
             "wall_clock_min": round((time.time() - t0) / 60, 1),
+            "mapper_overrides": {
+                "initial_capacity": mapper_cfg.initial_capacity,
+                "max_capacity": mapper_cfg.max_capacity,
+                "k_per_tile": mapper_cfg.k_per_tile,
+                "k_per_tile_max": mapper_cfg.k_per_tile_max,
+                "mapping_iters": mapper_cfg.mapping_iters,
+                "exact_online_metrics": mapper_cfg.exact_online_metrics,
+            },
         }
         with open(os.path.join(out_dir, "summary.json"), "w") as fh:
             json.dump(summary, fh, indent=2)
@@ -94,11 +110,18 @@ def main():
         print(f"[batch] {set_name}: {json.dumps(overall[set_name])}",
               flush=True)
 
-    with open(os.path.join(out_root, "BATCH_SUMMARY.json"), "w") as fh:
-        json.dump({"step_budget": steps, "res": res, "sets": overall}, fh,
-                  indent=2)
-    print(json.dumps({"step_budget": steps, "res": res, "sets": overall},
-                     indent=2))
+    # Merge into any existing summary: sets are run one-per-process to bound
+    # in-process XLA:CPU compile accumulation (see CLAUDE.md segfault hazard).
+    summary_path = os.path.join(out_root, "BATCH_SUMMARY.json")
+    merged = {"step_budget": steps, "res": res, "sets": {}}
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            prev = json.load(fh)
+        merged["sets"].update(prev.get("sets", {}))
+    merged["sets"].update(overall)
+    with open(summary_path, "w") as fh:
+        json.dump(merged, fh, indent=2)
+    print(json.dumps(merged, indent=2))
 
 
 if __name__ == "__main__":
