@@ -425,11 +425,30 @@ class MapperNode:
 
     def _global_scores_cached(self, view_c2w, positions):
         """Per-node (invisibility, volume) with the position-keyed score
-        cache; only stale nodes are re-rendered (one batched device call)."""
+        cache; only stale nodes are re-rendered (one batched device call).
+
+        "reach" mode invalidates per change box with two irrelevance tests:
+        (a) the box lies beyond the node's visible reach (+margin), and
+        (b) 2D line-of-sight from the node to the box is fully blocked by
+        observed-occupied cells of the cached topdown map. (a) alone never
+        fires indoors — an exploration pano almost always has holes, which
+        make reach infinite, and a finite reach spans most of a small scene
+        anyway (0/192 hits in both r04 cold AND the per-box-reach rerun).
+        (b) is the test with indoor teeth: mapping in one room cannot change
+        pano scores of nodes walled off in another. It is a planner-side
+        heuristic (height-band slice, sampled box faces) — "version" mode
+        remains the exact option."""
         n = len(positions)
         ver = self.mapper.map_version
         results: list = [None] * n
         need: list = []
+        solid = None
+        solid_ver = -1
+        if self.pano_cache_mode == "reach" and self._topdown_cache is not None:
+            from activesplat_tpu.queries.topdown import solid_map
+
+            solid_ver = self._topdown_cache[0]
+            solid = solid_map(self._topdown_cache[1], self._topdown_cache[2])
         for i, pos in enumerate(positions):
             if np.all(pos == 0):  # reference skip semantics (zero node)
                 results[i] = (0.0, 0.0)
@@ -444,29 +463,16 @@ class MapperNode:
                     fresh = True
                 elif (
                     self.pano_cache_mode == "reach"
-                    and np.isfinite(e["reach"])
                     and ver - e["version"] <= self.pano_cache_max_age
                 ):
                     boxes = self.mapper.boxes_since(e["version"])
                     if boxes is not None:
-                        # distance from the node to EACH change box: a node
-                        # stays fresh iff every individual change landed
-                        # beyond its reach. (Testing the union AABB instead
-                        # is uselessly conservative — over the ~10²-version
-                        # gap between SELECT_TARGET ticks the union covers
-                        # most of a small scene: 0/192 hits in the r04 cold
-                        # episode.)
-                        d = np.linalg.norm(
-                            np.maximum(
-                                0.0,
-                                np.maximum(
-                                    boxes[:, 0] - p3d, p3d - boxes[:, 1]
-                                ),
-                            ),
-                            axis=-1,
-                        )
-                        fresh = bool(
-                            np.all(d > e["reach"] + self.pano_cache_margin)
+                        # the occluder map must cover every change the cached
+                        # score predates, else LOS can't rule anything out
+                        los_solid = solid if solid_ver >= e["version"] else None
+                        fresh = all(
+                            self._box_irrelevant(p3d, box, e["reach"], los_solid)
+                            for box in boxes
                         )
             if fresh:
                 results[i] = (e["inv"], e["vol"])
@@ -485,6 +491,44 @@ class MapperNode:
                     "version": ver, "inv": inv, "vol": vol, "reach": reach,
                 }
         return results
+
+    def _box_irrelevant(
+        self,
+        p3d: np.ndarray,
+        box: np.ndarray,  # (2, 3) world AABB of one frame's observed cloud
+        reach: float,
+        solid: Optional[np.ndarray],  # u8 occluder grid, or None = unusable
+    ) -> bool:
+        """True iff this map-change box provably cannot affect the node's
+        panorama score: beyond the node's visible reach, or 2D-walled-off on
+        the topdown occluder grid (every sampled box face point blocked)."""
+        d = np.linalg.norm(
+            np.maximum(0.0, np.maximum(box[0] - p3d, p3d - box[1]))
+        )
+        if np.isfinite(reach) and d > reach + self.pano_cache_margin:
+            return True
+        if solid is None:
+            return False
+        from activesplat_tpu.queries.topdown import los_blocked, world_to_topdown
+
+        cfg = self.topdown_cfg
+        dim_u, dim_v = cfg.world_dim_index
+        # sample the box's 2D footprint at <=0.75 m spacing (a corners-only
+        # test could miss a visible slit through the middle of a large box)
+        nu = int(np.clip(np.ceil((box[1, dim_u] - box[0, dim_u]) / 0.75) + 1, 2, 5))
+        nv = int(np.clip(np.ceil((box[1, dim_v] - box[0, dim_v]) / 0.75) + 1, 2, 5))
+        us = np.linspace(box[0, dim_u], box[1, dim_u], nu)
+        vs = np.linspace(box[0, dim_v], box[1, dim_v], nv)
+        pts = np.zeros((nu * nv, 3))
+        uu, vv = np.meshgrid(us, vs, indexing="ij")
+        pts[:, dim_u] = uu.reshape(-1)
+        pts[:, dim_v] = vv.reshape(-1)
+        uvs = world_to_topdown(pts, cfg)
+        node_uv = world_to_topdown(p3d[None], cfg)[0]
+        trim = max(2, int(round(0.12 / cfg.meter_per_pixel)))
+        return all(
+            los_blocked(solid, node_uv, uv, trim_px=trim) for uv in uvs
+        )
 
     def _set_mapper(self, kf_every: int = 0, map_every: int = 0) -> Dict[str, int]:
         old = {

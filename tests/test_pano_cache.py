@@ -180,6 +180,105 @@ def test_reach_checks_each_box_not_their_union(tmp_path):
     assert out["targets_frustums_invisibility"] == [7.0]  # still cached
 
 
+def _put_entry(node, world_xz, reach):
+    p3d = np.array([world_xz[0], node.last_frame["c2w"][1, 3], world_xz[1]])
+    key = tuple(np.round(p3d / 0.05).astype(int))
+    node._pano_cache[key] = {
+        "version": node.mapper.map_version, "inv": 7.0, "vol": 3.0,
+        "reach": reach,
+    }
+    return p3d
+
+
+def _occluder_maps(node, wall_v=None, gap_u=None):
+    """(free, unobserved) grids: free everywhere, plus an optional solid wall
+    row at pixel v=wall_v (optionally with a gap at pixel u=gap_u±2)."""
+    w, h = node.topdown_cfg.grid_shape
+    free = np.ones((h, w), np.uint8)
+    unobs = np.zeros((h, w), np.uint8)
+    if wall_v is not None:
+        free[wall_v, :] = 0  # observed occupied: free=0, unobserved=0
+        if gap_u is not None:
+            free[wall_v, gap_u - 2 : gap_u + 3] = 1
+    return free, unobs
+
+
+def _los_geometry(node):
+    """Node/box world positions separated along the grid's v axis, plus the
+    wall pixel row between them (world u/v axes are cfg.world_dim_index —
+    NOT world x/z)."""
+    from activesplat_tpu.queries.topdown import world_to_topdown
+
+    cfg = node.topdown_cfg
+    (u0, u1), (v0, v1) = cfg.world_2d_bbox
+    du, dv = cfg.world_dim_index
+    node_w = np.zeros(3)
+    node_w[du] = u0 + 0.35 * (u1 - u0)
+    node_w[dv] = v0 + 0.30 * (v1 - v0)
+    box_w = np.zeros(3)
+    box_w[du] = u0 + 0.40 * (u1 - u0)
+    box_w[dv] = v0 + 0.75 * (v1 - v0)
+    box = np.stack([box_w - 0.3, box_w + 0.3])
+    box[0, (set((0, 1, 2)) - {du, dv}).pop()] = 0.0  # height extent
+    mid_uv = world_to_topdown(((node_w + box_w) / 2)[None], cfg)[0]
+    return node_w, box, int(round(mid_uv[1])), int(round(mid_uv[0]))
+
+
+def test_reach_mode_los_blocked_change_keeps_entry(tmp_path):
+    """A change box fully behind an observed wall must NOT invalidate a
+    node's cached score, even when the node's reach is infinite (holes):
+    2D line-of-sight is the only invalidation test with indoor teeth."""
+    node = make_node(tmp_path)
+    node_w, box, wall_v, gap_u = _los_geometry(node)
+    _put_entry(node, (node_w[0], node_w[2]), reach=float("inf"))
+    node.mapper.map_version += 1
+    node.mapper._change_log.append((node.mapper.map_version, box))
+
+    free, unobs = _occluder_maps(node, wall_v=wall_v)
+    node._topdown_cache = (node.mapper.map_version, free, unobs)
+    out = node._get_opacity(True, np.array([[node_w[0], 0.0, node_w[2]]]))
+    assert out["targets_frustums_invisibility"] == [7.0]  # cached: walled off
+    assert node.pano_cache_hits == 1
+
+    # same geometry with a gap in the wall on the node<->box line: visible
+    free, unobs = _occluder_maps(node, wall_v=wall_v, gap_u=gap_u)
+    node._topdown_cache = (node.mapper.map_version, free, unobs)
+    _put_entry(node, (node_w[0], node_w[2]), reach=float("inf"))
+    node.mapper.map_version += 1
+    node.mapper._change_log.append((node.mapper.map_version, box))
+    out2 = node._get_opacity(True, np.array([[node_w[0], 0.0, node_w[2]]]))
+    assert out2["targets_frustums_invisibility"] != [7.0]  # re-scored
+
+
+def test_reach_mode_stale_occluder_map_is_not_used(tmp_path):
+    """An occluder map older than the cached score can't prove anything —
+    the wall test must be skipped and the entry re-scored."""
+    node = make_node(tmp_path)
+    node_w, box, wall_v, _ = _los_geometry(node)
+    _put_entry(node, (node_w[0], node_w[2]), reach=float("inf"))
+    stale_ver = node.mapper.map_version - 1  # predates the cached score
+    node.mapper.map_version += 1
+    node.mapper._change_log.append((node.mapper.map_version, box))
+    free, unobs = _occluder_maps(node, wall_v=wall_v)
+    node._topdown_cache = (stale_ver, free, unobs)
+    out = node._get_opacity(True, np.array([[node_w[0], 0.0, node_w[2]]]))
+    assert out["targets_frustums_invisibility"] != [7.0]  # re-scored
+
+
+def test_los_blocked_unit():
+    from activesplat_tpu.queries.topdown import los_blocked
+
+    solid = np.zeros((32, 32), np.uint8)
+    solid[16, :] = 1  # horizontal wall
+    a, b = np.array([5.0, 5.0]), np.array([5.0, 27.0])
+    assert los_blocked(solid, a, b)  # crosses the wall
+    assert not los_blocked(solid, a, np.array([27.0, 5.0]))  # same side
+    # endpoint ON the wall: the trim disk excludes it -> not blocked
+    assert not los_blocked(solid, a, np.array([5.0, 16.0]))
+    # out-of-grid endpoint -> conservative "visible"
+    assert not los_blocked(solid, a, np.array([5.0, 40.0]))
+
+
 def test_trimmed_change_log_forces_rescore(tmp_path):
     node = make_node(tmp_path)
     ver = node.mapper.map_version
