@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -295,6 +295,175 @@ def _topdown_binary(
     )
     unobs_u8 = (gray == 255.0).astype(jnp.uint8)
     return jnp.stack([free_u8, unobs_u8]), free.alpha
+
+
+@jax.jit
+def _changed_bbox(params, active, snap_params, snap_active, modifier):
+    """Exact changed-set bound vs a parameter snapshot.
+
+    Returns one packed (7,) f32 array [count, lo_xyz, hi_xyz]: the number of
+    Gaussians whose parameters (or active bit) differ from the snapshot, and
+    the world AABB covering the union of their OLD and NEW footprints
+    (means +- 3*sigma*modifier). Exactness rests on the mapper's
+    fresh-optimizer-per-event semantics (mapper/step.py:261): a Gaussian with
+    zero gradient through every iteration of an event is bit-identical
+    afterwards, so `!=` finds precisely the set the event touched."""
+
+    def leaf_neq(a, b):
+        d = a != b
+        return jnp.any(d, axis=-1) if d.ndim > 1 else d
+
+    differs = jnp.zeros(active.shape, bool)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(snap_params)):
+        differs = differs | leaf_neq(a, b)
+    changed = (active & snap_active & differs) | (active ^ snap_active)
+    count = jnp.sum(changed.astype(jnp.float32))
+
+    def footprint(p, use):
+        ext = 3.0 * jnp.exp(p.log_scales).max(-1, keepdims=True) * modifier
+        lo = jnp.where(use[:, None], p.means3d - ext, jnp.inf).min(0)
+        hi = jnp.where(use[:, None], p.means3d + ext, -jnp.inf).max(0)
+        return lo, hi
+
+    lo_n, hi_n = footprint(params, changed & active)
+    lo_o, hi_o = footprint(snap_params, changed & snap_active)
+    return jnp.concatenate(
+        [count[None], jnp.minimum(lo_n, lo_o), jnp.maximum(hi_n, hi_o)]
+    )
+
+
+def topdown_window_camera(
+    cfg: TopdownConfig, u0: int, v0: int, w: int, h: int
+) -> Camera:
+    """Camera whose (w, h) image is pixels [u0:u0+w, v0:v0+h] of the full
+    top-down grid: same pose and focal length, principal point shifted by the
+    window origin — pixel (i, j) of the window sees the exact ray of pixel
+    (u0+i, v0+j) of `topdown_camera(cfg)` (identical up to one float add)."""
+    full = topdown_camera(cfg)
+    intr = np.array(
+        [
+            [float(full.fx), 0, float(full.cx) - u0],
+            [0, float(full.fy), float(full.cy) - v0],
+            [0, 0, 1],
+        ]
+    )
+    return make_camera(w, h, intr, np.asarray(full.w2c), near=full.near, far=full.far)
+
+
+def default_window_ladder(cfg: TopdownConfig) -> Tuple[int, ...]:
+    """Square window sizes (px) for incremental re-renders: two rungs at
+    ~0.45x / ~0.8x of the smaller grid dimension, 16-aligned (tile size).
+    Each rung is one extra compile per capacity bucket — keep it short."""
+    m = min(cfg.width, cfg.height)
+    sizes = sorted({max(48, int(np.ceil(m * f / 16)) * 16) for f in (0.45, 0.8)})
+    return tuple(s for s in sizes if s <= m)
+
+
+class IncrementalTopdown:
+    """Top-down map cache with windowed incremental re-renders.
+
+    The planner polls get_topdown every navigation tick; the reference
+    re-renders the full grid whenever the map changed (2 of every 5 frames
+    under the benchmark schedule), which made `queries/topdown` the largest
+    stage of the r04 headline episode (156 s / 14.2 min). But each mapping
+    event only touches a local set of Gaussians, found EXACTLY by diffing
+    params against a snapshot taken at the last render (`_changed_bbox`).
+    When the changed box (old+new footprints, padded for screen-space
+    dilation) fits a ladder window, only that window is re-rendered — with a
+    shifted principal point so window pixels equal the full render's — and
+    composited into the cached maps. Oversized changes, capacity growth, and
+    opacity resets fall back to the full render.
+
+    Reference semantics being reproduced: visualizer.py:926-976 (full-grid
+    re-render per GaussianPacket).
+    """
+
+    # screen-space safety pad (px): EWA low-pass dilation + principal-point
+    # rounding; the projection adds <=2 px of radius, 8 is generous
+    MARGIN_PX = 8
+
+    def __init__(
+        self,
+        cfg: TopdownConfig,
+        k_per_tile: int = 256,
+        window_ladder: Optional[Tuple[int, ...]] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.k_per_tile = int(k_per_tile)
+        self.window_ladder = (
+            default_window_ladder(cfg) if window_ladder is None else tuple(window_ladder)
+        )
+        self._snap = None  # (params, active) pytree refs at last render
+        self._maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.stats = {"full": 0, "window": 0, "clean": 0}
+
+    def _full(self, buf: GaussianBuffer, foot_adjust: float, chunk: int):
+        free, unobs, _ = render_topdown(
+            buf, self.cfg, foot_adjust=foot_adjust, chunk=chunk,
+            k_per_tile=self.k_per_tile,
+        )
+        self._maps = (free, unobs)
+        self._snap = (buf.params, buf.active)
+        self.stats["full"] += 1
+        return free, unobs
+
+    def refresh(
+        self, buf: GaussianBuffer, foot_adjust: float = 0.0, chunk: int = 256
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return up-to-date (free_binary, unobserved_binary) u8 maps."""
+        if self._snap is None or self._snap[0].capacity != buf.capacity:
+            return self._full(buf, foot_adjust, chunk)
+        packed = np.asarray(
+            _changed_bbox(
+                buf.params, buf.active, self._snap[0], self._snap[1],
+                jnp.float32(TOPDOWN_SCALE_MODIFIER),
+            )
+        )
+        if packed[0] == 0:
+            self.stats["clean"] += 1
+            return self._maps
+        box = packed[1:].reshape(2, 3)
+        # project the changed box's 2D footprint to a pixel bbox
+        du, dv = self.cfg.world_dim_index
+        corners = np.zeros((2, 3))
+        corners[:, du] = (box[0, du], box[1, du])
+        corners[:, dv] = (box[0, dv], box[1, dv])
+        uv = world_to_topdown(corners, self.cfg)
+        lo = np.floor(uv.min(0)) - self.MARGIN_PX
+        hi = np.ceil(uv.max(0)) + self.MARGIN_PX
+        need_w, need_h = hi[0] - lo[0], hi[1] - lo[1]
+        W, H = self.cfg.width, self.cfg.height
+        win = next(
+            (s for s in self.window_ladder
+             if s >= need_w and s >= need_h and s <= W and s <= H),
+            None,
+        )
+        if win is None:
+            return self._full(buf, foot_adjust, chunk)
+        # center the window on the box, clamped inside the grid
+        u0 = int(np.clip(round((lo[0] + hi[0]) / 2 - win / 2), 0, W - win))
+        v0 = int(np.clip(round((lo[1] + hi[1]) / 2 - win / 2), 0, H - win))
+        from activesplat_tpu.ops.render import forward_backend
+
+        cam = topdown_window_camera(self.cfg, u0, v0, win, win)
+        both_u8, _ = _topdown_binary(
+            buf, cam,
+            jnp.float32(self.cfg.agent_foot + foot_adjust),
+            jnp.float32(self.cfg.agent_head),
+            height_axis=self.cfg.height_axis,
+            chunk=chunk,
+            k_per_tile=self.k_per_tile,
+            backend=forward_backend(),
+        )
+        both = np.asarray(both_u8)
+        free = self._maps[0].copy()
+        unobs = self._maps[1].copy()
+        free[v0 : v0 + win, u0 : u0 + win] = both[0]
+        unobs[v0 : v0 + win, u0 : u0 + win] = both[1]
+        self._maps = (free, unobs)
+        self._snap = (buf.params, buf.active)
+        self.stats["window"] += 1
+        return free, unobs
 
 
 def horizon_bbox_topdown(

@@ -46,6 +46,7 @@ class MapperNode:
         pano_cache: str = "reach",  # off | version | reach
         pano_cache_margin: float = 0.25,
         pano_cache_max_age: int = 200,
+        topdown_incremental: bool = True,
     ) -> None:
         self.bus = bus
         self.dataset = dataset
@@ -87,6 +88,14 @@ class MapperNode:
         )
         self.movement_fail_times = 0
         self._topdown_cache: Optional[tuple] = None  # (map_version, free, unobs)
+        # Incremental topdown engine: exact changed-box diff vs a param
+        # snapshot, windowed re-render when the change is local (the default;
+        # `topdown_incremental=False` restores full re-renders per change).
+        from activesplat_tpu.queries.topdown import IncrementalTopdown
+
+        self._topdown_inc: Optional[IncrementalTopdown] = (
+            IncrementalTopdown(self.topdown_cfg) if topdown_incremental else None
+        )
         # /map3d.png state: orbit render of the live Gaussian map, refreshed
         # on map_version change at the topdown polling cadence (headless
         # counterpart of the reference GUI's 3D widget + trajectory,
@@ -118,6 +127,10 @@ class MapperNode:
         self._pano_cache: Dict[tuple, dict] = {}
         self.pano_cache_hits = 0
         self.pano_cache_misses = 0
+        # miss taxonomy: `stale` = key existed but invalidation rejected it;
+        # misses - stale = first-ever lookups of that quantized position
+        # (key churn — Voronoi nodes moving between SELECT_TARGET ticks)
+        self.pano_cache_stale = 0
         self.last_frame: Optional[Dict[str, np.ndarray]] = frame0
         self._finished = False
         self.recorder = None
@@ -357,9 +370,14 @@ class MapperNode:
             free_binary, unobserved_binary = self._topdown_cache[1:]
         else:
             with stage("queries/topdown"):
-                free_binary, unobserved_binary, _ = render_topdown(
-                    self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
-                )
+                if self._topdown_inc is not None:
+                    free_binary, unobserved_binary = self._topdown_inc.refresh(
+                        self.mapper.buf, chunk=self.mapper.cfg.chunk
+                    )
+                else:
+                    free_binary, unobserved_binary, _ = render_topdown(
+                        self.mapper.buf, self.topdown_cfg, chunk=self.mapper.cfg.chunk
+                    )
             self._topdown_cache = (ver, free_binary, unobserved_binary)
             if self.recorder is not None:
                 self.recorder.save_topdown(free_binary, unobserved_binary)
@@ -480,6 +498,8 @@ class MapperNode:
             else:
                 need.append((i, key))
                 self.pano_cache_misses += 1
+                if e is not None:
+                    self.pano_cache_stale += 1
         if need:
             with stage("queries/panorama_global"):
                 scores = self.mapper.get_global_invisibility(

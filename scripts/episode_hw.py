@@ -144,7 +144,14 @@ def main():
         "pano_cache": {
             "hits": mapper_node.pano_cache_hits,
             "misses": mapper_node.pano_cache_misses,
+            "stale": mapper_node.pano_cache_stale,
         },
+        # full vs windowed vs no-op topdown re-renders (IncrementalTopdown)
+        "topdown_renders": (
+            dict(mapper_node._topdown_inc.stats)
+            if mapper_node._topdown_inc is not None
+            else None
+        ),
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
