@@ -39,19 +39,20 @@ def main():
 
     # Cap every spec's step budget (the reference protocol runs 1000/2000
     # steps per scene; one core can't — the reduction is explicit in the
-    # artifact, not hidden).
-    for specs in B.SCENE_SETS.values():
+    # artifact, not hidden). BATCH_MAX_RUNS additionally truncates each
+    # set's spec list (scene coverage beats repetition on a budget: one run
+    # per set across three sets proves the surface end-to-end).
+    max_runs = int(os.environ.get("BATCH_MAX_RUNS", 0))
+
+    def cap(specs):
         for s in specs:
             s["step_num"] = min(s["step_num"], steps)
+        return specs[:max_runs] if max_runs else specs
+
+    for name in list(B.SCENE_SETS):
+        B.SCENE_SETS[name] = cap(B.SCENE_SETS[name])
     orig_specs = B.habitat_scene_specs
-
-    def capped_specs(set_name):
-        specs = orig_specs(set_name)
-        for s in specs:
-            s["step_num"] = min(s["step_num"], steps)
-        return specs
-
-    B.habitat_scene_specs = capped_specs
+    B.habitat_scene_specs = lambda set_name: cap(orig_specs(set_name))
 
     # Compile-light profile: every (capacity, k) transition recompiles the
     # whole program set, and XLA:CPU compiles of the big programs run tens of
@@ -86,6 +87,7 @@ def main():
             summary = json.load(fh)
         summary["protocol"] = {
             "step_budget": steps, "res": res,
+            "max_runs_per_set": max_runs or None,
             "wall_clock_min": round((time.time() - t0) / 60, 1),
             "mapper_overrides": {
                 "initial_capacity": mapper_cfg.initial_capacity,
