@@ -115,6 +115,17 @@ class MapperConfig:
     # on a 4096-Gaussian dryrun). Hardware runs initialize one Gaussian per
     # pixel (>= 65k at 256px) and are unaffected.
     k_overflow_min_active: int = 8192
+    # Exact (uncapped) TRAINING compositing: mapping/densify-tap losses render
+    # through the differentiable CSR rasterizer (blend_csr's analytic Pallas
+    # backward) instead of the k-truncated tile blend — zero truncation bias
+    # in the gradients, the CUDA reference's uncapped dynamic-list semantics
+    # (reference splatam.py:208-212) for the training path too. "off" keeps
+    # the k-capped path; "on" uses CSR exact from the start; "auto" (default)
+    # starts k-capped and switches to exact permanently the first time
+    # harmful drops persist AT the k_per_tile_max ceiling — exactly where the
+    # old path could only print a warning and train on biased gradients
+    # (truncation_bias in EPISODE_r04: ~7.8 dB mean online PSNR delta).
+    exact_training: str = "auto"
     # Online progress PSNR/depth-L1 from an exact (uncapped) re-render of the
     # current frame rather than the k-truncated training render. The training
     # render reads up to ~8 dB low on dense maps at the k ceiling (harmful

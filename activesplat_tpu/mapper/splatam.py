@@ -240,6 +240,22 @@ class SplaTAMMapper:
         if int(self.buf.num_active()) < self.cfg.k_overflow_min_active:
             return  # tiny scene: a recompile costs more than the truncation
         if self.cfg.k_per_tile >= self.cfg.k_per_tile_max:
+            # the escalation ladder is exhausted. exact_training="auto" now
+            # swaps the training render for the differentiable CSR exact
+            # rasterizer (uncapped — the reference's dynamic-list semantics,
+            # splatam.py:208-212) instead of training on at the ceiling with
+            # biased gradients. One recompile, logged via shape_history.
+            # Mesh-sharded training takes the same switch (each shard walks
+            # its row block's CSR entries, parallel/sharded.py).
+            if self.cfg.exact_training == "auto":
+                print(
+                    f"k_per_tile at ceiling {self.cfg.k_per_tile_max} with "
+                    f"{dropped} harmful memberships dropped — switching the "
+                    "training render to exact CSR compositing "
+                    "(exact_training auto -> on)"
+                )
+                self.cfg = dataclasses.replace(self.cfg, exact_training="on")
+                return
             if frame_id - self._overflow_warned_frame >= 50:
                 self._overflow_warned_frame = frame_id
                 print(
@@ -516,9 +532,10 @@ class SplaTAMMapper:
         shape = {
             "capacity": int(self.buf.capacity),
             "k_per_tile": int(self.cfg.k_per_tile),
+            "exact_training": self.cfg.exact_training == "on",
         }
         if not self.shape_history or {
-            k: self.shape_history[-1][k] for k in shape
+            k: self.shape_history[-1].get(k) for k in shape
         } != shape:
             self.shape_history.append({"frame": frame_id, **shape})
         self.mapping_frame_time_sum += time.time() - t_frame

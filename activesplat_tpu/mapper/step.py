@@ -57,13 +57,16 @@ def mapping_loss(
     from activesplat_tpu.ops.render import forward_backend
 
     # the Pallas blend has an analytic custom VJP, so the training render can
-    # use it too (resolved at trace time; XLA blend on CPU)
+    # use it too (resolved at trace time; XLA blend on CPU). exact_training
+    # "on" swaps in the differentiable CSR exact rasterizer — uncapped
+    # compositing with zero k-truncation gradient bias (see MapperConfig).
     out = render(
         buf.replace(params=params),
         cam,
         chunk=cfg.chunk,
         k_per_tile=cfg.k_per_tile,
         backend=forward_backend() if cfg.k_per_tile else "xla",
+        grad_exact=bool(cfg.k_per_tile) and cfg.exact_training == "on",
     )
 
     mask = depth_gt > 0
@@ -123,6 +126,7 @@ def mapping_loss_with_tap(
         cam,
         chunk=cfg.chunk,
         k_per_tile=cfg.k_per_tile,
+        grad_exact=bool(cfg.k_per_tile) and cfg.exact_training == "on",
     )
     mask = jax.lax.stop_gradient(depth_gt > 0)
     depth_l1 = jnp.sum(jnp.abs(depth_gt - out.depth) * mask) / jnp.maximum(

@@ -373,7 +373,7 @@ CSEG = 256  # entries per CSR grid step (per-tile runs are CSEG-aligned)
 
 
 def _blend_csr_kernel(seg_tile_ref, seg_u0_ref, seg_v0_ref, data_ref,
-                      accum_ref, logt_ref):
+                      accum_ref, logt_ref, entry_ref=None):
     s = pl.program_id(0)
     tile = seg_tile_ref[s]
     prev_tile = seg_tile_ref[jnp.maximum(s - 1, 0)]
@@ -386,6 +386,11 @@ def _blend_csr_kernel(seg_tile_ref, seg_u0_ref, seg_v0_ref, data_ref,
     def _init():
         accum_ref[0] = jnp.zeros((PX, 8), jnp.float32)
         logt_ref[0] = jnp.zeros((1, PX), jnp.float32)
+
+    if entry_ref is not None:
+        # AD forward: stash this segment's entry log-transmittance (the
+        # backward's residual, same trick as the dense blend's entry_ref)
+        entry_ref[0] = logt_ref[0]
 
     u0 = seg_u0_ref[s]
     v0 = seg_v0_ref[s]
@@ -425,12 +430,66 @@ def _blend_csr_kernel(seg_tile_ref, seg_u0_ref, seg_v0_ref, data_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "n_channels", "interpret")
+    jax.jit,
+    static_argnames=("n_tiles", "n_channels", "interpret", "with_entry"),
 )
-def blend_csr_pallas(
+def _blend_csr_fwd_pallas(
     entry_data: jnp.ndarray,  # (E, N_ATTR) f32, E % CSEG == 0
     seg_tile: jnp.ndarray,  # (E // CSEG,) int32 in [0, n_tiles]; n_tiles = pad
     seg_u0: jnp.ndarray,  # (E // CSEG,) int32 tile origin x
+    seg_v0: jnp.ndarray,
+    n_tiles: int,
+    n_channels: int = 5,
+    interpret: bool = False,
+    with_entry: bool = False,
+):
+    e_tot, n_attr = entry_data.shape
+    assert n_attr == N_ATTR and e_tot % CSEG == 0, (e_tot, n_attr)
+    n_seg = e_tot // CSEG
+
+    out_specs = [
+        pl.BlockSpec((1, PX, 8), lambda s, st, su, sv: (st[s], 0, 0)),
+        pl.BlockSpec((1, 1, PX), lambda s, st, su, sv: (st[s], 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles + 1, PX, 8), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles + 1, 1, PX), jnp.float32),
+    ]
+    if with_entry:
+        # per-segment entry log-transmittance (the backward's residual);
+        # forward-only renders omit the output and its HBM write entirely
+        out_specs.append(pl.BlockSpec((1, 1, PX), lambda s, st, su, sv: (s, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((n_seg, 1, PX), jnp.float32))
+        kernel = _blend_csr_kernel
+    else:
+        def kernel(st, su, sv, data_ref, accum_ref, logt_ref):
+            _blend_csr_kernel(st, su, sv, data_ref, accum_ref, logt_ref, None)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((CSEG, N_ATTR), lambda s, st, su, sv: (s, 0)),
+        ],
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seg_tile, seg_u0, seg_v0, entry_data)
+    if with_entry:
+        accum, logt, entry = out
+        return accum[:n_tiles, :, :n_channels], logt[:n_tiles, 0, :], entry
+    accum, logt = out
+    return accum[:n_tiles, :, :n_channels], logt[:n_tiles, 0, :]
+
+
+def blend_csr_pallas(
+    entry_data: jnp.ndarray,
+    seg_tile: jnp.ndarray,
+    seg_u0: jnp.ndarray,
     seg_v0: jnp.ndarray,
     n_tiles: int,
     n_channels: int = 5,
@@ -441,31 +500,189 @@ def blend_csr_pallas(
     target for padding past the last run. Returns (accum (n_tiles, PX,
     n_channels), log_transmittance (n_tiles, PX)); blocks of tiles with no
     segments hold GARBAGE — callers mask with their per-tile counts."""
-    e_tot, n_attr = entry_data.shape
-    assert n_attr == N_ATTR and e_tot % CSEG == 0, (e_tot, n_attr)
-    n_seg = e_tot // CSEG
+    return _blend_csr_fwd_pallas(
+        entry_data, seg_tile, seg_u0, seg_v0, n_tiles, n_channels, interpret,
+        with_entry=False,
+    )
 
+
+def _blend_csr_bwd_kernel(
+    seg_tile_ref,  # (n_seg,) scalar-prefetch
+    seg_u0_ref,
+    seg_v0_ref,
+    data_ref,  # (CSEG, N_ATTR) — segment s = n_seg-1-i (reverse grid order)
+    g_accum_ref,  # (1, PX, 8) — cotangent block of this segment's tile
+    g_logt_ref,  # (1, 1, PX)
+    entry_ref,  # (1, 1, PX) — entry log-transmittance stashed by the forward
+    d_data_ref,  # (CSEG, N_ATTR) output
+    b_ref,  # VMEM scratch (1, PX): per-tile suffix colour-dot carry
+    *,
+    n_seg: int,
+):
+    """Analytic backward of the CSR blend: the dense _blend_bwd_kernel's
+    back-to-front suffix walk, restructured over the CSR segment stream.
+    The grid runs in REVERSE segment order; segments of one tile are
+    consecutive, so the suffix carry B lives in a VMEM scratch that resets
+    whenever the walk crosses into a new tile (i.e. at the tile's LAST
+    segment, the first one visited in reverse order)."""
+    i = pl.program_id(0)
+    s = n_seg - 1 - i
+    tile = seg_tile_ref[s]
+    nxt = seg_tile_ref[jnp.minimum(s + 1, n_seg - 1)]
+    last_of_tile = (i == 0) | (tile != nxt)
+
+    @pl.when(last_of_tile)
+    def _reset():
+        b_ref[...] = jnp.zeros((1, PX), jnp.float32)
+
+    u0 = seg_u0_ref[s]
+    v0 = seg_v0_ref[s]
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (u0 + local % TILE).astype(jnp.float32)
+    py = (v0 + local // TILE).astype(jnp.float32)
+
+    logt_in = entry_ref[0]  # (1, PX)
+    saturated = jnp.max(logt_in) < LOG_EPS
+
+    @pl.when(saturated)
+    def _skip():
+        d_data_ref[...] = jnp.zeros((CSEG, N_ATTR), jnp.float32)
+
+    @pl.when(jnp.logical_not(saturated))
+    def _compute():
+        g_accum = g_accum_ref[0]  # (PX, 8); padding channels carry zeros
+        g_logt = g_logt_ref[0]  # (1, PX)
+        block = data_ref[...]  # (CSEG, N_ATTR)
+        mx = block[:, 0:1]
+        my = block[:, 1:2]
+        ca = block[:, 2:3]
+        cb = block[:, 3:4]
+        cc = block[:, 4:5]
+        op = block[:, 5:6]
+        dx = mx - px
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = op * jnp.exp(power)
+        alpha = jnp.minimum(raw, ALPHA_MAX)
+        live = (power <= 0.0) & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(live, alpha, 0.0)
+        unclipped = live & (raw < ALPHA_MAX)
+
+        logs = jnp.log1p(-alpha)
+        prefix = _prefix_scan_exclusive(logs)
+        t_k = jnp.exp(logt_in + prefix)  # (CSEG, PX)
+        w = alpha * t_k
+        colors = block[:, 6:14]  # (CSEG, 8)
+        s_k = jax.lax.dot_general(
+            colors,
+            g_accum,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CSEG, PX)
+        ws = w * s_k
+        b = b_ref[...]  # (1, PX)
+        b_k = b + _suffix_scan_exclusive(ws)  # (CSEG, PX)
+        one_minus = jnp.maximum(1.0 - alpha, 1.0 / 256.0)
+        d_alpha = t_k * s_k - (b_k + g_logt) / one_minus
+        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+
+        d_col = jax.lax.dot_general(
+            w,
+            g_accum,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CSEG, 8)
+
+        d_raw = jnp.where(unclipped, d_alpha, 0.0)
+        d_power = d_raw * alpha  # alpha == raw where unclipped
+        # mask power BEFORE exp: power > 0 rows would overflow to inf
+        exp_power = jnp.exp(jnp.where(unclipped, power, 0.0))
+        d_op = jnp.sum(d_raw * exp_power, axis=1, keepdims=True)
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+
+        d_block = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col], axis=1
+        )  # (CSEG, 14)
+        d_data_ref[...] = jnp.pad(d_block, ((0, 0), (0, N_ATTR - 14)))
+        b_ref[...] = b + jnp.sum(ws, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "n_channels", "interpret")
+)
+def _blend_csr_bwd_pallas(
+    entry_data, seg_tile, seg_u0, seg_v0, entry, g_accum, g_logt,
+    n_tiles, n_channels, interpret,
+):
+    e_tot, n_attr = entry_data.shape
+    n_seg = e_tot // CSEG
+    # +1 zero row: segments keyed to the padding tile n_tiles read it
+    g_accum_pad = jnp.pad(
+        g_accum, ((0, 1), (0, 0), (0, 8 - n_channels))
+    )  # (n_tiles+1, PX, 8)
+    g_logt_pad = jnp.pad(g_logt[:, None, :], ((0, 1), (0, 0), (0, 0)))
+
+    rev = lambda i: n_seg - 1 - i  # noqa: E731 — reverse grid order
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_seg,),
         in_specs=[
-            pl.BlockSpec((CSEG, N_ATTR), lambda s, st, su, sv: (s, 0)),
+            pl.BlockSpec((CSEG, N_ATTR), lambda i, st, su, sv: (rev(i), 0)),
+            pl.BlockSpec((1, PX, 8), lambda i, st, su, sv: (st[rev(i)], 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i, st, su, sv: (st[rev(i)], 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i, st, su, sv: (rev(i), 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, PX, 8), lambda s, st, su, sv: (st[s], 0, 0)),
-            pl.BlockSpec((1, 1, PX), lambda s, st, su, sv: (st[s], 0, 0)),
-        ],
+        out_specs=pl.BlockSpec((CSEG, N_ATTR), lambda i, st, su, sv: (rev(i), 0)),
+        scratch_shapes=[pltpu.VMEM((1, PX), jnp.float32)],
     )
-    accum, logt = pl.pallas_call(
-        _blend_csr_kernel,
+    d_data = pl.pallas_call(
+        functools.partial(_blend_csr_bwd_kernel, n_seg=n_seg),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles + 1, PX, 8), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles + 1, 1, PX), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((e_tot, N_ATTR), jnp.float32),
         interpret=interpret,
-    )(seg_tile, seg_u0, seg_v0, entry_data)
-    return accum[:n_tiles, :, :n_channels], logt[:n_tiles, 0, :]
+    )(seg_tile, seg_u0, seg_v0, entry_data, g_accum_pad, g_logt_pad, entry)
+    return d_data
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blend_csr(entry_data, seg_tile, seg_u0, seg_v0, n_tiles, n_channels=5,
+              interpret=False):
+    """Differentiable exact CSR blend (Pallas fwd + analytic Pallas bwd).
+
+    Same contract as blend_csr_pallas; additionally differentiable in
+    entry_data (the gathered per-entry attribute rows) — the training path
+    for exact (uncapped) compositing, eliminating k-truncation gradient
+    bias (the CUDA reference's dynamic lists are likewise uncapped,
+    reference splatam.py:208-212)."""
+    return blend_csr_pallas(
+        entry_data, seg_tile, seg_u0, seg_v0, n_tiles, n_channels, interpret
+    )
+
+
+def _blend_csr_vjp_fwd(entry_data, seg_tile, seg_u0, seg_v0, n_tiles,
+                       n_channels, interpret):
+    accum, logt, entry = _blend_csr_fwd_pallas(
+        entry_data, seg_tile, seg_u0, seg_v0, n_tiles, n_channels, interpret,
+        with_entry=True,
+    )
+    return (accum, logt), (entry_data, seg_tile, seg_u0, seg_v0, entry)
+
+
+def _blend_csr_vjp_bwd(n_tiles, n_channels, interpret, residuals, cotangents):
+    entry_data, seg_tile, seg_u0, seg_v0, entry = residuals
+    g_accum, g_logt = cotangents
+    d_data = _blend_csr_bwd_pallas(
+        entry_data, seg_tile, seg_u0, seg_v0, entry, g_accum, g_logt,
+        n_tiles, n_channels, interpret,
+    )
+    return d_data, None, None, None
+
+
+blend_csr.defvjp(_blend_csr_vjp_fwd, _blend_csr_vjp_bwd)
 
 
 # --------------------------------------------------------------------------- #

@@ -631,7 +631,10 @@ def _tiles_to_image(accum_t, logt_t, tiles_x, tiles_y, width, height):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "entry_budget", "ladder", "interpret"),
+    static_argnames=(
+        "width", "height", "entry_budget", "ladder", "interpret",
+        "differentiable",
+    ),
 )
 def rasterize_tiled_exact(
     mean2d: jnp.ndarray,  # (N, 2) UNSORTED (projection order)
@@ -647,6 +650,7 @@ def rasterize_tiled_exact(
     entry_budget: int = 0,
     ladder: Tuple[float, ...] = (),
     interpret: bool = False,
+    differentiable: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact (uncapped) forward-only tile compositing in CSR layout.
 
@@ -709,10 +713,15 @@ def rasterize_tiled_exact(
     rungs = sorted({_align(f * n) for f in ladder if _align(f * n) < top}) + [top]
 
     sg = jax.lax.stop_gradient
-    mean2d = sg(mean2d)
-    conic = sg(conic)
-    opacity = sg(opacity)
-    colors = sg(colors)
+    if not differentiable:
+        mean2d = sg(mean2d)
+        conic = sg(conic)
+        opacity = sg(opacity)
+        colors = sg(colors)
+    # binning/sort geometry NEVER carries gradients (matching the k-capped
+    # path, whose gradients flow only through the gathered attribute rows);
+    # in differentiable mode the attribute table below still does
+    g_mean2d = sg(mean2d)
     radius = sg(radius)
     depth = sg(depth)
 
@@ -720,8 +729,8 @@ def rasterize_tiled_exact(
     key = jnp.where(valid, depth, jnp.inf)
     scale = 8.0
     lim = float(2**15 - 2)
-    qx = jnp.clip(jnp.round(mean2d[:, 0] * scale), -lim, lim).astype(jnp.int32)
-    qy = jnp.clip(jnp.round(mean2d[:, 1] * scale), -lim, lim).astype(jnp.int32)
+    qx = jnp.clip(jnp.round(g_mean2d[:, 0] * scale), -lim, lim).astype(jnp.int32)
+    qy = jnp.clip(jnp.round(g_mean2d[:, 1] * scale), -lim, lim).astype(jnp.int32)
     packed_xy = (qx << 16) | (qy & 0xFFFF)
     val_rad = jnp.where(valid, radius, -1.0)
     _, s_xy, s_vr, order = jax.lax.sort(
@@ -772,7 +781,9 @@ def rasterize_tiled_exact(
     )
     pad_data = jnp.concatenate([data, pad_row], 0)
 
-    from activesplat_tpu.ops.raster_pallas import blend_csr_pallas
+    from activesplat_tpu.ops.raster_pallas import blend_csr, blend_csr_pallas
+
+    blend_fn = blend_csr if differentiable else blend_csr_pallas
 
     def _body(e: int):
         """Expansion + sort + blend at one static entry budget."""
@@ -855,7 +866,7 @@ def rasterize_tiled_exact(
         seg_u0 = jnp.where(in_grid, (seg_tile % tiles_x) * TILE, 0)
         seg_v0 = jnp.where(in_grid, (seg_tile // tiles_x) * TILE, 0)
 
-        accum_t, logt_t = blend_csr_pallas(
+        accum_t, logt_t = blend_fn(
             entry_data, seg_tile, seg_u0, seg_v0, t, c_dim, interpret
         )
         # tiles with no entries are never visited by the kernel: mask garbage

@@ -56,6 +56,7 @@ def render_projected(
     backend: str = "xla",
     exact: bool = False,
     exact_ladder: tuple = (0.5, 1.0, 2.0),
+    grad_exact: bool = False,
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
@@ -75,7 +76,16 @@ def render_projected(
     offered as lax.switch rungs below the 4N exactness bound (see
     rasterize_tiled_exact). Small views (panoramas, frustum-culled
     perspectives) pick small rungs and skip most of the budget-sized sort/
-    gather work; () pins the fixed 4N budget."""
+    gather work; () pins the fixed 4N budget.
+
+    grad_exact=True (requires k_per_tile > 0) composites exactly AND
+    differentiably via the CSR blend's analytic backward (blend_csr) —
+    the training path without k-truncation gradient bias, matching the
+    CUDA reference's uncapped dynamic lists (reference splatam.py:208-212).
+    If the view's memberships overflow the entry budget (>4N, essentially
+    unreachable for frustum views), it falls back to the k-capped
+    differentiable render; `dropped` then reports that path's harmful
+    truncations, and stays 0 otherwise."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
 
@@ -102,7 +112,55 @@ def render_projected(
     else:
         bin_radius, bin_valid = proj.radius, proj.valid
 
-    if k_per_tile > 0 and exact and backend == "pallas":
+    if k_per_tile > 0 and grad_exact:
+        from activesplat_tpu.ops.raster_tiled import (
+            rasterize_tiled,
+            rasterize_tiled_exact,
+        )
+
+        accum0, log_t0, csr_dropped = rasterize_tiled_exact(
+            proj.mean2d,
+            proj.conic,
+            opacities,
+            channels,
+            bin_valid,
+            bin_radius,
+            proj.depth,
+            width=cam.width,
+            height=cam.height,
+            ladder=tuple(exact_ladder),
+            interpret=jax.default_backend() != "tpu",
+            differentiable=True,
+        )
+
+        # entry-budget overflow (>4N memberships — unreachable for normal
+        # frustum views): degrade to the k-capped differentiable render
+        # rather than training on silently truncated entries. Both branches
+        # are differentiable, so AD flows through the cond.
+        def _fallback(_):
+            a, l, d = rasterize_tiled(
+                proj.mean2d,
+                proj.conic,
+                opacities,
+                channels,
+                bin_valid,
+                bin_radius,
+                proj.depth,
+                width=cam.width,
+                height=cam.height,
+                k_per_tile=k_per_tile,
+                backend=backend,
+                max_passes=1,
+            )
+            return a, l, d
+
+        accum, log_t, dropped = jax.lax.cond(
+            csr_dropped > 0,
+            _fallback,
+            lambda _: (accum0, log_t0, jnp.int32(0)),
+            None,
+        )
+    elif k_per_tile > 0 and exact and backend == "pallas":
         # exact forward-only renders take the CSR single-walk path: cost is
         # O(total tile memberships) instead of the multi-pass dense walk
         # (T x k x passes), which degrades badly on converged maps whose
@@ -215,6 +273,7 @@ def render(
     backend: str = "xla",
     exact: bool = False,
     exact_ladder: tuple = (0.5, 1.0, 2.0),
+    grad_exact: bool = False,
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 
@@ -252,6 +311,7 @@ def render(
         backend=backend,
         exact=exact,
         exact_ladder=exact_ladder,
+        grad_exact=grad_exact,
     )
 
 
@@ -259,5 +319,7 @@ def render(
 # compilation serves all poses/intrinsics at a given resolution.
 render_jit = jax.jit(
     render,
-    static_argnames=("chunk", "k_per_tile", "backend", "exact", "exact_ladder"),
+    static_argnames=(
+        "chunk", "k_per_tile", "backend", "exact", "exact_ladder", "grad_exact"
+    ),
 )

@@ -147,6 +147,7 @@ def render_sharded_tiled(
     k_per_tile: int = 256,
     backend: str = "xla",
     exact: bool = False,
+    grad_exact: bool = False,
 ):
     """Tile-sharded production render: projection/sort replicated (O(N)),
     each device bins + blends its block of tile rows with the tiled
@@ -157,9 +158,20 @@ def render_sharded_tiled(
 
     backend="pallas" runs the fused Pallas blend (with its analytic VJP)
     inside shard_map — interpret mode off-TPU, so the multichip dryrun
-    covers Pallas-under-shard_map on the virtual CPU mesh."""
+    covers Pallas-under-shard_map on the virtual CPU mesh.
+
+    grad_exact=True composites each shard's row block exactly AND
+    differentiably through the CSR rasterizer (blend_csr's analytic
+    backward) — the mesh form of the exact-training path (see
+    ops/render.py render_projected). The phantom-membership cull keeps each
+    shard's entry total to its own rows, so the per-shard budget ladder
+    starts well below N."""
     from activesplat_tpu.ops.projection import project_gaussians
-    from activesplat_tpu.ops.raster_tiled import TILE, rasterize_tiled
+    from activesplat_tpu.ops.raster_tiled import (
+        TILE,
+        rasterize_tiled,
+        rasterize_tiled_exact,
+    )
 
     n_dev = mesh.shape["px"]
     rows = cam.height // n_dev
@@ -191,22 +203,46 @@ def render_sharded_tiled(
         local_mean = mean2d - jnp.stack(
             [jnp.zeros_like(row0), row0]
         )  # shift rows into this shard's frame
-        accum, log_t, dropped = rasterize_tiled(
-            local_mean,
-            conic,
-            opacity,
-            chans,
-            valid,
-            radius,
-            depth,
-            width=cam.width,
-            height=rows,
-            k_per_tile=k_per_tile,
-            backend=backend,
+
+        def _capped(max_passes):
+            return rasterize_tiled(
+                local_mean,
+                conic,
+                opacity,
+                chans,
+                valid,
+                radius,
+                depth,
+                width=cam.width,
+                height=rows,
+                k_per_tile=k_per_tile,
+                backend=backend,
+                max_passes=max_passes,
+            )
+
+        if grad_exact:
+            accum0, log_t0, csr_dropped = rasterize_tiled_exact(
+                local_mean, conic, opacity, chans, valid, radius, depth,
+                width=cam.width, height=rows,
+                ladder=(0.25, 0.5, 1.0),
+                interpret=jax.default_backend() != "tpu",
+                differentiable=True,
+            )
+            # entry-budget overflow: degrade THIS shard to the k-capped
+            # differentiable render (collective-free branches, so the cond
+            # is safe under shard_map)
+            accum, log_t, dropped = jax.lax.cond(
+                csr_dropped > 0,
+                lambda _: _capped(1),
+                lambda _: (accum0, log_t0, jnp.int32(0)),
+                None,
+            )
+        else:
             # ceil(N/k) windows are provably exact (a tile list cannot
             # exceed the gaussian count); the while_loop early-exits
-            max_passes=-(-mean2d.shape[0] // k_per_tile) if exact else 1,
-        )
+            accum, log_t, dropped = _capped(
+                -(-mean2d.shape[0] // k_per_tile) if exact else 1
+            )
         t = jnp.exp(log_t)
         rgb = (accum[:, :3] + t[:, None] * bg_rep[None, :]).reshape(
             rows, cam.width, 3
@@ -249,6 +285,7 @@ def sharded_mapping_loss(
         rgb, depth, alpha, radii, dropped = render_sharded_tiled(
             buf.replace(params=params), cam, mesh,
             k_per_tile=cfg.k_per_tile, backend=backend,
+            grad_exact=cfg.exact_training == "on",
         )
     else:
         rgb, depth, alpha, radii, dropped = render_sharded(

@@ -152,6 +152,8 @@ def test_mapper_escalates_k_per_tile(capsys):
 
 
 def test_mapper_warns_at_ceiling(capsys):
+    """With exact_training='off' (auto would switch to CSR exact instead —
+    tests/test_exact_grad.py), the at-ceiling overflow warns loudly."""
     cfg = MapperConfig(
         initial_capacity=1 << 11,
         max_capacity=1 << 12,
@@ -166,6 +168,7 @@ def test_mapper_warns_at_ceiling(capsys):
         k_per_tile_max=16,  # already at the ceiling: cannot escalate
         k_overflow_patience=1,
         k_overflow_min_active=0,
+        exact_training="off",
     )
     mapper = SplaTAMMapper(cfg, W, H, make_intrinsics(), step_num=8)
     run_frames(mapper, n_frames=2)

@@ -213,6 +213,45 @@ def test_sharded_tiled_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
 
 
+def test_sharded_grad_exact_matches_single_device(rng):
+    """Exact-training under the mesh: the sharded loss with
+    exact_training='on' (each shard walks its row block's CSR entries
+    differentiably, parallel/sharded.py grad_exact) must reproduce the
+    single-device exact-training loss AND gradients — which themselves equal
+    the uncapped semantics (tests/test_exact_grad.py)."""
+    import dataclasses
+
+    from activesplat_tpu.mapper.step import mapping_loss
+    from activesplat_tpu.parallel.sharded import sharded_mapping_loss
+
+    w, h = 64, 128
+    k = np.array([[40.0, 0, w / 2 - 1], [0, 40.0, h / 2 - 1], [0, 0, 1]])
+    scene = random_scene(rng, 150)
+    scene["logit_opacities"][:] = -2.0  # translucent: small k truncates
+    buf = buffer_from_scene(scene)
+    cam = make_camera(w, h, k, np.eye(4))
+    mesh = make_render_mesh()
+    im_gt = jnp.asarray(rng.uniform(0, 1, (h, w, 3)), jnp.float32)
+    depth_gt = jnp.asarray(rng.uniform(1.0, 3.0, (h, w)), jnp.float32)
+    cfg = MapperConfig(chunk=64, k_per_tile=16, exact_training="on")
+
+    def single(params):
+        return mapping_loss(params, buf, cam, im_gt, depth_gt, cfg)[0]
+
+    def sharded(params):
+        return sharded_mapping_loss(
+            params, buf, cam, im_gt, depth_gt, cfg, mesh
+        )[0]
+
+    v_s, g_s = jax.value_and_grad(single)(buf.params)
+    v_m, g_m = jax.value_and_grad(sharded)(buf.params)
+    np.testing.assert_allclose(float(v_m), float(v_s), rtol=1e-5)
+    for gs, gm in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_m)):
+        gs, gm = np.asarray(gs), np.asarray(gm)
+        scale = max(np.abs(gs).max(), 1e-6)
+        np.testing.assert_allclose(gm / scale, gs / scale, atol=1e-4)
+
+
 def test_panorama_csr_on_mesh_matches_single_device(rng, monkeypatch):
     """The exact CSR raster (budget-ladder lax.switch + prefetch-grid Pallas
     blend, interpret mode) must compose with shard_map: view-sharded
