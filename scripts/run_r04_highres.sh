@@ -6,10 +6,13 @@
 set -u
 cd "$(dirname "$0")/.."
 
-echo "=== bench @512px ==="
-BENCH_RES=512 BENCH_SKIP_1M=1 BENCH_SKIP_ROOFLINE=1 \
-  timeout 3600 python bench.py
+if [ -z "${SKIP_BENCH:-}" ]; then
+  echo "=== bench @512px ==="
+  BENCH_RES=512 BENCH_SKIP_1M=1 BENCH_SKIP_ROOFLINE=1 \
+    timeout 3600 python bench.py
+fi
 
 echo "=== 300-step high-res episode ==="
-EP_NAME=r04_highres EP_STEPS=300 EP_RES=512 EP_ITERS=10 EP_WINDOW=12 \
-  EP_STRIDE=20 timeout 10800 python -u scripts/episode_hw.py 2>&1 | tail -80
+JAX_TRACEBACK_FILTERING=off \
+  EP_NAME=r04_highres EP_STEPS=300 EP_RES=512 EP_ITERS=10 EP_WINDOW=12 \
+  EP_STRIDE=20 timeout 10800 python -u scripts/episode_hw.py 2>&1
