@@ -65,6 +65,11 @@ def main():
         mapping_iters=2, map_every=5, kf_every=5,
         k_per_tile=128, k_per_tile_max=256,
         exact_online_metrics=False,
+        # the auto exact-training switch is a TPU feature (interpret-mode CSR
+        # kernels on XLA:CPU compile for tens of minutes — exactly what this
+        # profile exists to avoid); coverage/accuracy are judged from
+        # replayed depth observations either way
+        exact_training="off",
     )
 
     overall = {}
