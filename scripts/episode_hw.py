@@ -83,6 +83,19 @@ def main():
         scene_id=scene, seed=seed, step_num=steps, width=res, height=res,
         results_dir=results_dir,
     )
+
+    # force first device contact OUTSIDE the episode loop under its own
+    # stage: the axon relay's backend init intermittently hangs 10-15 min
+    # (EPISODE_r04 warm run: 949.5 s attributed to mapper/first_frame was
+    # this), which otherwise poisons whatever stage touches the device first
+    from activesplat_tpu.utils.tracing import stage
+
+    with stage("device_warmup"):
+        import jax
+        import jax.numpy as jnp
+
+        float(np.asarray(jnp.zeros((1,), jnp.float32) + 1.0))
+
     t0 = time.time()
     mapper_node, planner = run_episode(dataset, results_dir, mapper_cfg=cfg)
     wall = time.time() - t0
