@@ -94,7 +94,7 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        float(np.asarray(jnp.zeros((1,), jnp.float32) + 1.0))
+        float(np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)[0])
 
     t0 = time.time()
     mapper_node, planner = run_episode(dataset, results_dir, mapper_cfg=cfg)
