@@ -25,6 +25,7 @@ come from the captured profiler trace, not these sums.
 from __future__ import annotations
 
 import contextlib
+import functools
 import os
 import threading
 import time
@@ -37,19 +38,127 @@ _sums: Dict[str, float] = {}
 _counts: Dict[str, int] = {}
 _maxes: Dict[str, float] = {}
 
+# Per-stage device-IO counters (VERDICT r4 item 6: decompose per-event wall
+# clock MECHANICALLY — a 148 ms mapping event at a ~1 ms/roundtrip relay is
+# explained by its dispatch/fetch count, not by device FLOPs). Four counters
+# per stage name:
+#   jit   — calls into counted jitted entry points (see counted_jit)
+#   eager — eager-op dispatches (jnp ops OUTSIDE jit; each is a relay
+#           roundtrip through the tunneled TPU — the silent killers)
+#   fetch — device->host value fetches (np.asarray / float() of jax arrays)
+#   fetch_bytes — bytes moved by those fetches (the relay is ~10 MB/s)
+_tls = threading.local()
+_io: Dict[str, Dict[str, int]] = {}
+_IO_KEYS = ("jit", "eager", "fetch", "fetch_bytes")
+
+
+def _cur_stage() -> Optional[str]:
+    stk = getattr(_tls, "stack", None)
+    return stk[-1] if stk else None
+
+
+def _note_io(key: str, inc: int = 1) -> None:
+    name = _cur_stage()
+    if name is None:
+        name = "(no stage)"
+    with _lock:
+        d = _io.get(name)
+        if d is None:
+            d = _io[name] = dict.fromkeys(_IO_KEYS, 0)
+        d[key] += inc
+
 
 @contextlib.contextmanager
 def stage(name: str) -> Iterator[None]:
     """Time a named pipeline stage and tag it for the device profiler."""
+    stk = getattr(_tls, "stack", None)
+    if stk is None:
+        stk = _tls.stack = []
+    stk.append(name)
     t0 = time.perf_counter()
-    with jax.profiler.TraceAnnotation(name):
-        yield
-    dt = time.perf_counter() - t0
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        dt = time.perf_counter() - t0
+        stk.pop()
+        with _lock:
+            _sums[name] = _sums.get(name, 0.0) + dt
+            _counts[name] = _counts.get(name, 0) + 1
+            if dt > _maxes.get(name, 0.0):
+                _maxes[name] = dt
+
+
+class _CountedJit:
+    """Thin shim around a jitted callable that counts each dispatch against
+    the active stage. Attribute access (lower, trace, …) passes through."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        functools.update_wrapper(self, fn, updated=())
+
+    def __call__(self, *args, **kwargs):
+        _note_io("jit")
+        return self._fn(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._fn, name)
+
+
+def counted_jit(fn):
+    """Wrap a jitted entry point so dispatches land in the IO counters."""
+    return _CountedJit(fn)
+
+
+def fetch(x):
+    """np.asarray(x), counted against the active stage as one device->host
+    fetch of `nbytes`. The explicit helper is the reliable chokepoint:
+    ArrayImpl is a C++ nanobind type, so numpy's __array__ lookup cannot be
+    monkeypatched from Python. Hot-loop call sites (mapper, queries) fetch
+    through this."""
+    import numpy as np
+
+    a = np.asarray(x)
+    _note_io("fetch")
+    _note_io("fetch_bytes", int(a.nbytes))
+    return a
+
+
+_io_installed = False
+
+
+def install_io_counters() -> None:
+    """Patch the eager-dispatch chokepoint (idempotent):
+
+    core.EvalTrace.process_primitive is the one Python entry every EAGER op
+    bind passes through (each primitive's .impl is a partial captured at
+    definition time, so patching dispatch.apply_primitive misses them; jit
+    fast paths bypass Python entirely and are counted via counted_jit;
+    fetches are counted by the explicit fetch() helper).
+
+    Overhead is one dict update per event — noise next to the ~1 ms the
+    relay charges for the roundtrip itself."""
+    global _io_installed
+    if _io_installed:
+        return
+    _io_installed = True
+
+    from jax._src import core as _jcore
+
+    orig_process = _jcore.EvalTrace.process_primitive
+
+    @functools.wraps(orig_process)
+    def counted_process(self, primitive, args, params):
+        _note_io("eager")
+        return orig_process(self, primitive, args, params)
+
+    _jcore.EvalTrace.process_primitive = counted_process
+
+
+def stage_report_io() -> Dict[str, Dict[str, int]]:
+    """{stage: {jit, eager, fetch, fetch_bytes}} accumulated so far."""
     with _lock:
-        _sums[name] = _sums.get(name, 0.0) + dt
-        _counts[name] = _counts.get(name, 0) + 1
-        if dt > _maxes.get(name, 0.0):
-            _maxes[name] = dt
+        return {k: dict(v) for k, v in _io.items()}
 
 
 def stage_report() -> Dict[str, Tuple[float, int]]:
@@ -74,6 +183,7 @@ def reset_stages() -> None:
         _sums.clear()
         _counts.clear()
         _maxes.clear()
+        _io.clear()
 
 
 def format_stage_report() -> str:
