@@ -36,6 +36,7 @@ from activesplat_tpu.mapper.step import (
 from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, make_camera
 from activesplat_tpu.ops.render import forward_backend, render, render_jit
 from activesplat_tpu.utils import OPENCV_TO_OPENGL
+from activesplat_tpu.utils.tracing import fetch as tfetch
 from activesplat_tpu.utils.tracing import format_stage_report, stage
 from activesplat_tpu.utils.transforms import mat_to_q_pos
 
@@ -82,6 +83,12 @@ def _exact_online_scores(
     n_valid = jnp.maximum(jnp.sum(mask), 1)
     l1 = jnp.sum(jnp.where(mask, jnp.abs(out.depth - depth_gt), 0.0)) / n_valid
     return jnp.stack([psnr_j(a, b), l1])  # one array -> one host fetch
+
+
+from activesplat_tpu.utils.tracing import counted_jit as _counted_jit
+
+_frame_to_device = _counted_jit(_frame_to_device)
+_exact_online_scores = _counted_jit(_exact_online_scores)
 
 
 class SplaTAMMapper:
@@ -360,10 +367,21 @@ class SplaTAMMapper:
 
         if frame_id == 0:
             with stage("mapper/first_frame"):
-                self.buf, dropped, scene_radius = first_frame_phase(
-                    self.buf, cam, rgb_j, depth_j, self.cfg
+                from activesplat_tpu.utils.relay import with_retry
+
+                def _first():
+                    buf, dropped, radius = first_frame_phase(
+                        self.buf, cam, rgb_j, depth_j, self.cfg
+                    )
+                    # fetch inside the closure so a transient fetch error
+                    # retries the (pure) phase; also first device contact —
+                    # the watchdog attributes relay init hangs in real time
+                    return buf, int(dropped), radius
+
+                self.buf, dropped, scene_radius = with_retry(
+                    _first, desc="mapper/first_frame", stall_warn_s=60.0
                 )
-                if self._grow_if_needed(int(dropped), self.width * self.height):
+                if self._grow_if_needed(dropped, self.width * self.height):
                     self.buf, dropped, scene_radius = first_frame_phase(
                         self.buf, cam, rgb_j, depth_j, self.cfg
                     )
@@ -443,7 +461,7 @@ class SplaTAMMapper:
                         ),
                     )
                     i = nxt
-                packed = np.asarray(metrics["packed"])  # ONE host fetch,
+                packed = tfetch(metrics["packed"])  # ONE host fetch,
                 # which also synchronizes the chain (block_until_ready is
                 # unreliable through the tunneled-TPU relay, CLAUDE.md)
             dt = time.time() - t_iter
@@ -466,13 +484,21 @@ class SplaTAMMapper:
                 # render + host metrics moved ~1 MB of f32 per map frame
                 # through the ~10 MB/s relay).
                 with stage("mapper/exact_online"):
-                    ex = np.asarray(
-                        _exact_online_scores(
-                            self.buf, cam, rgb_j, depth_j,
-                            chunk=self.cfg.chunk,
-                            k_per_tile=self.cfg.k_per_tile,
-                            backend=forward_backend(),
-                        )
+                    from activesplat_tpu.utils.relay import with_retry
+
+                    # idempotent dispatch+fetch closure: a transient relay
+                    # error on the fetch re-runs the pure program (CLAUDE.md:
+                    # observed FAILED_PRECONDITION on a first value fetch)
+                    ex = with_retry(
+                        lambda: tfetch(
+                            _exact_online_scores(
+                                self.buf, cam, rgb_j, depth_j,
+                                chunk=self.cfg.chunk,
+                                k_per_tile=self.cfg.k_per_tile,
+                                backend=forward_backend(),
+                            )
+                        ),
+                        desc="mapper/exact_online fetch",
                     )  # one (2,) fetch
                 self.last_metrics["psnr_train"] = self.last_metrics["psnr"]
                 self.last_metrics["depth_l1_train"] = self.last_metrics[
@@ -777,8 +803,8 @@ class SplaTAMMapper:
             exact=self.cfg.k_per_tile > 0,
         )
         return (
-            np.clip(np.asarray(out.rgb), 0.0, 1.0),
-            np.asarray(out.depth),
+            np.clip(tfetch(out.rgb), 0.0, 1.0),
+            tfetch(out.depth),
         )
 
     def render_view(
@@ -800,9 +826,9 @@ class SplaTAMMapper:
             exact=self.cfg.k_per_tile > 0,
         )
         return {
-            "rgb": np.asarray(out.rgb),
-            "depth": np.asarray(out.depth),
-            "opacity": np.asarray(out.alpha),
+            "rgb": tfetch(out.rgb),
+            "depth": tfetch(out.depth),
+            "opacity": tfetch(out.alpha),
         }
 
     def get_global_invisibility(self, view_c2w: np.ndarray, node_positions):
@@ -863,8 +889,8 @@ class SplaTAMMapper:
             backend=forward_backend(),
             exact=self.cfg.k_per_tile > 0,
         )
-        depth = np.asarray(out.depth)
-        opacity = np.asarray(out.alpha)
+        depth = tfetch(out.depth)
+        opacity = tfetch(out.alpha)
         depth_error = np.abs(depth - depth_gt) * (depth_gt > 0)
         mask = (depth > depth_gt) & (depth_error > 0.3) & (opacity > 0.8)
         mask_small = cv2.resize(

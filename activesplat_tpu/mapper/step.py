@@ -575,3 +575,15 @@ def prune_phase(
     if pd.reset_fires(iteration):
         buf = _reset_opacities(buf)
     return buf, n_removed
+
+
+# Count each dispatch of the per-frame phases against the active tracing
+# stage (utils/tracing.py IO counters): the axon relay charges ~1 ms per
+# dispatch, so a stage's wall clock decomposes as jit + eager + fetch counts.
+from activesplat_tpu.utils.tracing import counted_jit as _counted_jit
+
+mapping_phase = _counted_jit(mapping_phase)
+densify_phase = _counted_jit(densify_phase)
+first_frame_phase = _counted_jit(first_frame_phase)
+densify_gradient_phase = _counted_jit(densify_gradient_phase)
+mapping_iteration = _counted_jit(mapping_iteration)

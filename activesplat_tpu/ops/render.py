@@ -317,9 +317,14 @@ def render(
 
 # Compiled entry point: Camera's width/height are pytree metadata, so one
 # compilation serves all poses/intrinsics at a given resolution.
-render_jit = jax.jit(
-    render,
-    static_argnames=(
-        "chunk", "k_per_tile", "backend", "exact", "exact_ladder", "grad_exact"
-    ),
+from activesplat_tpu.utils.tracing import counted_jit as _counted_jit
+
+render_jit = _counted_jit(
+    jax.jit(
+        render,
+        static_argnames=(
+            "chunk", "k_per_tile", "backend", "exact", "exact_ladder",
+            "grad_exact",
+        ),
+    )
 )

@@ -130,6 +130,12 @@ def _render_views_quantized(
     return depth_mm, alpha_u8
 
 
+from activesplat_tpu.utils.tracing import counted_jit as _counted_jit
+
+_render_views = _counted_jit(_render_views)
+_render_views_quantized = _counted_jit(_render_views_quantized)
+
+
 def pano_view_poses(view_c2w: np.ndarray) -> np.ndarray:
     """The 3 look-around c2ws: successive 120-deg rotations about the
     camera's own vertical axis (splatam/__init__.py:716-717)."""
@@ -209,16 +215,25 @@ def global_invisibility(
         )
     width, height = pano_dims(scale)
     depth_parts, alpha_parts = [], []
+    from activesplat_tpu.utils.relay import with_retry
+
     for start in range(0, padded, view_chunk):
-        d_c, a_c = _render_views_quantized(
-            buf,
-            jnp.asarray(w2cs_np[start : start + view_chunk], jnp.float32),
-            chunk,
-            scale,
-            mesh,
-        )
-        depth_parts.append(np.asarray(d_c))
-        alpha_parts.append(np.asarray(a_c))
+
+        def run(start=start):
+            d_c, a_c = _render_views_quantized(
+                buf,
+                jnp.asarray(w2cs_np[start : start + view_chunk], jnp.float32),
+                chunk,
+                scale,
+                mesh,
+            )
+            from activesplat_tpu.utils.tracing import fetch as tfetch
+
+            return tfetch(d_c), tfetch(a_c)
+
+        d_np, a_np = with_retry(run, desc="queries/panorama fetch")
+        depth_parts.append(d_np)
+        alpha_parts.append(a_np)
     depth = (
         np.concatenate(depth_parts, 0)[:m]
         .reshape(n, PANO_VIEWS, height, width)
@@ -273,8 +288,10 @@ def local_invisibility(
     _, alpha_u8 = _render_views_quantized(
         buf, jnp.asarray(w2cs_np, jnp.float32), chunk, scale, mesh
     )
+    from activesplat_tpu.utils.tracing import fetch as tfetch
+
     invis = (
-        1.0 - np.concatenate(np.asarray(alpha_u8)[:PANO_VIEWS], axis=1) / 255.0
+        1.0 - np.concatenate(tfetch(alpha_u8)[:PANO_VIEWS], axis=1) / 255.0
     )
     sum_invis = float(np.sum(invis))
     best_pose = None

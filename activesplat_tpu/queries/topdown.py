@@ -26,6 +26,7 @@ import numpy as np
 
 from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, make_camera
 from activesplat_tpu.ops.render import render_jit
+from activesplat_tpu.utils.tracing import fetch as tfetch
 
 CAMERA_HEIGHT = 1000.0  # visualizer.py:1577
 FREE_OPACITY_THRESHOLD = 0.4  # visualizer.py:954
@@ -221,23 +222,30 @@ def render_topdown(
     """
     from activesplat_tpu.ops.render import forward_backend
 
+    from activesplat_tpu.utils.relay import with_retry
+
     cam = topdown_camera(cfg)
     backend = forward_backend()
-    both_u8, free_alpha = _topdown_binary(
-        buf,
-        cam,
-        jnp.float32(cfg.agent_foot + foot_adjust),
-        jnp.float32(cfg.agent_head),
-        height_axis=cfg.height_axis,
-        chunk=chunk,
-        k_per_tile=k_per_tile,
-        backend=backend,
-    )
-    # Binarization (and the height slice) happen ON DEVICE and only one
-    # stacked 1-byte/px map pair crosses to host in a single fetch — the f32
-    # alpha + rgb images are ~16x the traffic, and transfers + per-call eager
-    # dispatch (not the render) dominated the query latency at 1M Gaussians.
-    both = np.asarray(both_u8)
+
+    def run():
+        both_u8, free_alpha = _topdown_binary(
+            buf,
+            cam,
+            jnp.float32(cfg.agent_foot + foot_adjust),
+            jnp.float32(cfg.agent_head),
+            height_axis=cfg.height_axis,
+            chunk=chunk,
+            k_per_tile=k_per_tile,
+            backend=backend,
+        )
+        # Binarization (and the height slice) happen ON DEVICE and only one
+        # stacked 1-byte/px map pair crosses to host in a single fetch — the
+        # f32 alpha + rgb images are ~16x the traffic, and transfers +
+        # per-call eager dispatch (not the render) dominated the query
+        # latency at 1M Gaussians.
+        return tfetch(both_u8), free_alpha
+
+    both, free_alpha = with_retry(run, desc="queries/topdown fetch")
     return both[0], both[1], free_alpha
 
 
@@ -297,6 +305,11 @@ def _topdown_binary(
     return jnp.stack([free_u8, unobs_u8]), free.alpha
 
 
+from activesplat_tpu.utils.tracing import counted_jit as _counted_jit
+
+_topdown_binary = _counted_jit(_topdown_binary)
+
+
 @jax.jit
 def _changed_bbox(params, active, snap_params, snap_active, modifier):
     """Exact changed-set bound vs a parameter snapshot.
@@ -330,6 +343,9 @@ def _changed_bbox(params, active, snap_params, snap_active, modifier):
     return jnp.concatenate(
         [count[None], jnp.minimum(lo_n, lo_o), jnp.maximum(hi_n, hi_o)]
     )
+
+
+_changed_bbox = _counted_jit(_changed_bbox)
 
 
 def topdown_window_camera(
@@ -413,7 +429,7 @@ class IncrementalTopdown:
         """Return up-to-date (free_binary, unobserved_binary) u8 maps."""
         if self._snap is None or self._snap[0].capacity != buf.capacity:
             return self._full(buf, foot_adjust, chunk)
-        packed = np.asarray(
+        packed = tfetch(
             _changed_bbox(
                 buf.params, buf.active, self._snap[0], self._snap[1],
                 jnp.float32(TOPDOWN_SCALE_MODIFIER),
@@ -455,7 +471,7 @@ class IncrementalTopdown:
             k_per_tile=self.k_per_tile,
             backend=forward_backend(),
         )
-        both = np.asarray(both_u8)
+        both = tfetch(both_u8)
         free = self._maps[0].copy()
         unobs = self._maps[1].copy()
         free[v0 : v0 + win, u0 : u0 + win] = both[0]

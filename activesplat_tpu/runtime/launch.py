@@ -84,8 +84,9 @@ def run_episode(
 ):
     """Run one exploration episode to budget exhaustion. Returns
     (mapper_node, planner)."""
-    from activesplat_tpu.utils.tracing import trace_capture
+    from activesplat_tpu.utils.tracing import install_io_counters, trace_capture
 
+    install_io_counters()  # per-stage dispatch/fetch/bytes in stage reports
     mapper_cfg = mapper_cfg or MapperConfig()
     _ensure_setup(dataset)
     bus = Bus()

@@ -88,18 +88,23 @@ def main():
     # stage: the axon relay's backend init intermittently hangs 10-15 min
     # (EPISODE_r04 warm run: 949.5 s attributed to mapper/first_frame was
     # this), which otherwise poisons whatever stage touches the device first
-    from activesplat_tpu.utils.tracing import stage
+    from activesplat_tpu.utils.relay import with_retry
+    from activesplat_tpu.utils.tracing import install_io_counters, stage
 
+    install_io_counters()
     with stage("device_warmup"):
         import jax
         import jax.numpy as jnp
 
-        float(np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)[0])
+        with_retry(
+            lambda: float(np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)[0]),
+            desc="device warmup", stall_warn_s=60.0,
+        )
 
     t0 = time.time()
     mapper_node, planner = run_episode(dataset, results_dir, mapper_cfg=cfg)
     wall = time.time() - t0
-    from activesplat_tpu.utils.tracing import stage_report_full
+    from activesplat_tpu.utils.tracing import stage_report_full, stage_report_io
 
     # [sum_s, calls, max_call_s]: the max flags one-off relay hangs (a stage
     # whose max is >>mean was stalled by the tunnel, not steady-state cost)
@@ -107,6 +112,16 @@ def main():
         k: [round(s, 1), c, round(mx, 1)] for k, (s, c, mx) in sorted(
             stage_report_full().items(), key=lambda kv: -kv[1][0]
         )
+    }
+    # per-stage device-IO decomposition: jit dispatches / eager ops / host
+    # fetches / fetched MB — each dispatch or fetch is a ~1 ms relay
+    # roundtrip, so stage wall-clock above decomposes mechanically
+    stage_io = {
+        k: {
+            "jit": v["jit"], "eager": v["eager"], "fetch": v["fetch"],
+            "fetch_mb": round(v["fetch_bytes"] / 1e6, 3),
+        }
+        for k, v in sorted(stage_report_io().items())
     }
     mapper = mapper_node.mapper
     final_k = mapper.cfg.k_per_tile
@@ -150,6 +165,7 @@ def main():
         "dropped_max": int(max(dropped_trace) if dropped_trace else 0),
         **{k: round(float(v), 4) for k, v in quality.items()},
         "stage_sums_s": stage_sums,  # {stage: [seconds, calls]}, loop stages
+        "stage_io": stage_io,  # {stage: {jit, eager, fetch, fetch_mb}}
         # k-ceiling gradient-bias ledger: exact-vs-truncated online deltas
         "truncation_bias": mapper.truncation_bias(),
         # every transition past the first is a recompile of the program set
