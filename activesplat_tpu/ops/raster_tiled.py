@@ -467,6 +467,11 @@ def _rasterize_tiled_data(
 
 _SATURATED_LOG_T = float(np.log(0.02))  # < 2% transmittance left
 
+# absolute ceiling on the CSR entry budget (see rasterize_tiled_exact):
+# 8.4M entries = 4.3 GB padded for the entry gather, comfortable on a 16 GB
+# chip next to the ~2 GB attribute table at 4M capacity
+_ENTRY_CAP = int(_os.environ.get("ACTIVESPLAT_EXACT_ENTRY_CAP", 1 << 23))
+
 
 def _rasterize_tiled_prefix(
     packed,  # (B, 4) sorted [mx, my, radius, valid]
@@ -705,6 +710,14 @@ def rasterize_tiled_exact(
     t = tiles_x * tiles_y
     if entry_budget <= 0:
         entry_budget = 4 * n
+    # HBM guard on the top rung: every E-sized f32 table is laid out
+    # T(8, 128), so its 16 attribute columns pad to 128 lanes — 512 B/entry.
+    # The un-capped 4N rung at N = 4M capacity is 16.8M entries = 8.6 GB for
+    # the entry gather ALONE, which blew the 16 GB HBM inside the r04
+    # high-resolution densify program (512px episode crash, VERDICT r4
+    # missing #1). Overflow past the cap takes the existing provably-exact
+    # multi-pass fallback instead of an allocation failure.
+    entry_budget = min(entry_budget, _ENTRY_CAP)
 
     def _align(v: int) -> int:
         return -(-max(int(v), CSEG) // CSEG) * CSEG
@@ -768,14 +781,27 @@ def rasterize_tiled_exact(
     pj = jnp.arange(CSEG - 1, dtype=jnp.int32)
 
     # ---- 5a. attribute table (shared by all rungs) ----
+    # Forward-only: the table carries its N_ATTR zero padding columns so the
+    # per-entry gather below produces the kernel layout DIRECTLY — a separate
+    # (E, 6+C) gather + (E, N_ATTR) pad materializes TWO E-sized lane-padded
+    # arrays (512 B/entry each; at the 512px/4M-capacity densify shape that
+    # alone was 16.2 GB — the r04 HBM exhaustion). Differentiable mode keeps
+    # the narrow table: the gather's transpose scatter-add in the backward
+    # then moves only the 6+C live columns (measured win, CLAUDE.md).
     data = jnp.concatenate(
-        [mean2d, conic, opacity[:, None], colors], -1
-    )  # (N, 6 + C)
+        [mean2d, conic, opacity[:, None], colors]
+        + (
+            []
+            if differentiable
+            else [jnp.zeros((n, N_ATTR - 6 - c_dim), mean2d.dtype)]
+        ),
+        -1,
+    )  # (N, 6 + C) or (N, N_ATTR)
     pad_row = jnp.concatenate(
         [
             jnp.full((1, 2), -1e9, data.dtype),
             jnp.ones((1, 3), data.dtype),
-            jnp.zeros((1, 1 + c_dim), data.dtype),
+            jnp.zeros((1, data.shape[1] - 5), data.dtype),
         ],
         -1,
     )
@@ -845,8 +871,11 @@ def rasterize_tiled_exact(
         global_ids = jnp.where(
             sorted_gid >= n, n, order[jnp.minimum(sorted_gid, n - 1)]
         )
-        entry_data = jnp.pad(
-            pad_data[global_ids], ((0, 0), (0, N_ATTR - 6 - c_dim))
+        rows = pad_data[global_ids]
+        entry_data = (
+            rows
+            if rows.shape[1] == N_ATTR
+            else jnp.pad(rows, ((0, 0), (0, N_ATTR - 6 - c_dim)))
         )  # (E_tot, N_ATTR)
 
         # segment -> tile map derived from the (padded) per-tile counts with
