@@ -46,6 +46,7 @@ class MapperNode:
         pano_cache: str = "reach",  # off | version | reach
         pano_cache_margin: float = 0.25,
         pano_cache_max_age: int = 200,
+        pano_cache_capacity: int = 1024,
         topdown_incremental: bool = True,
     ) -> None:
         self.bus = bus
@@ -124,6 +125,9 @@ class MapperNode:
         self.pano_cache_mode = pano_cache
         self.pano_cache_margin = float(pano_cache_margin)
         self.pano_cache_max_age = int(pano_cache_max_age)
+        # bounded: entries past capacity evict oldest-version first (an entry
+        # older than pano_cache_max_age can never validate anyway)
+        self.pano_cache_capacity = int(pano_cache_capacity)
         self._pano_cache: Dict[tuple, dict] = {}
         self.pano_cache_hits = 0
         self.pano_cache_misses = 0
@@ -510,6 +514,12 @@ class MapperNode:
                 self._pano_cache[key] = {
                     "version": ver, "inv": inv, "vol": vol, "reach": reach,
                 }
+            if len(self._pano_cache) > self.pano_cache_capacity:
+                drop = len(self._pano_cache) - self.pano_cache_capacity
+                for key, _ in sorted(
+                    self._pano_cache.items(), key=lambda kv: kv[1]["version"]
+                )[:drop]:
+                    del self._pano_cache[key]
         return results
 
     def _box_irrelevant(
