@@ -120,11 +120,18 @@ class MapperConfig:
     # backward) instead of the k-truncated tile blend — zero truncation bias
     # in the gradients, the CUDA reference's uncapped dynamic-list semantics
     # (reference splatam.py:208-212) for the training path too. "off" keeps
-    # the k-capped path; "on" uses CSR exact from the start; "auto" (default)
-    # starts k-capped and switches to exact permanently the first time
-    # harmful drops persist AT the k_per_tile_max ceiling — exactly where the
-    # old path could only print a warning and train on biased gradients
+    # the k-capped path; "on" uses the full CSR walk (O(total memberships)
+    # per render — measured ~2.5x the capped cost); "hybrid" keeps the
+    # capped blend everywhere and CSR-recomposites ONLY harmfully
+    # overflowing tiles (rasterize_tiled_hybrid — same unbiased gradients at
+    # capped + O(harmful memberships) cost); "auto" (default) starts
+    # k-capped and switches to "hybrid" permanently the first time harmful
+    # drops persist AT the k_per_tile_max ceiling — exactly where the old
+    # path could only print a warning and train on biased gradients
     # (truncation_bias in EPISODE_r04: ~7.8 dB mean online PSNR delta).
+    # NOTE mesh-sharded training maps "hybrid" to the full CSR walk (each
+    # shard walks its row block's entries; the harmful-tile fold is not yet
+    # sharded).
     exact_training: str = "auto"
     # Online progress PSNR/depth-L1 from an exact (uncapped) re-render of the
     # current frame rather than the k-truncated training render. The training

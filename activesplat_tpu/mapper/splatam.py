@@ -258,10 +258,18 @@ class SplaTAMMapper:
                 print(
                     f"k_per_tile at ceiling {self.cfg.k_per_tile_max} with "
                     f"{dropped} harmful memberships dropped — switching the "
-                    "training render to exact CSR compositing "
-                    "(exact_training auto -> on)"
+                    "training render to hybrid exact compositing "
+                    "(exact_training auto -> hybrid: capped blend + CSR on "
+                    "harmfully overflowing tiles only)"
                 )
-                self.cfg = dataclasses.replace(self.cfg, exact_training="on")
+                self.cfg = dataclasses.replace(
+                    self.cfg, exact_training="hybrid"
+                )
+                return
+            if self.cfg.exact_training in ("on", "hybrid"):
+                # training is already unbiased; under "hybrid", `dropped` is
+                # the k-cap pressure telemetry (CSR recomposits those tiles)
+                # and at the ceiling there is nothing left to escalate
                 return
             if frame_id - self._overflow_warned_frame >= 50:
                 self._overflow_warned_frame = frame_id
@@ -376,7 +384,7 @@ class SplaTAMMapper:
                     # fetch inside the closure so a transient fetch error
                     # retries the (pure) phase; also first device contact —
                     # the watchdog attributes relay init hangs in real time
-                    return buf, int(dropped), radius
+                    return buf, int(tfetch(dropped)), radius
 
                 self.buf, dropped, scene_radius = with_retry(
                     _first, desc="mapper/first_frame", stall_warn_s=60.0
@@ -408,7 +416,7 @@ class SplaTAMMapper:
                     self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
                     self.cfg, **densify_kw,
                 )
-                if self._grow_if_needed(int(dropped), 4096):
+                if self._grow_if_needed(int(tfetch(dropped)), 4096):
                     self.buf, dropped, n_new = densify_phase(
                         self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
                         self.cfg, **densify_kw,
@@ -475,7 +483,21 @@ class SplaTAMMapper:
                 "rgb_l1": float(packed[4]),
                 "ssim": float(packed[5]),
             }
-            if self.cfg.exact_online_metrics and self.cfg.k_per_tile > 0:
+            if (
+                self.cfg.exact_online_metrics
+                and self.cfg.k_per_tile > 0
+                and self.cfg.exact_training in ("on", "hybrid")
+            ):
+                # the training render is ALREADY exact (full CSR or hybrid):
+                # its psnr/depth_l1 ARE the exact-online scores, so the
+                # separate exact re-render program is pure overhead
+                # (EPISODE_r04 warm: 112 ms x 685 calls). Record train ==
+                # exact so the truncation ledger shows the bias collapse.
+                self.last_metrics["psnr_train"] = self.last_metrics["psnr"]
+                self.last_metrics["depth_l1_train"] = self.last_metrics[
+                    "depth_l1"
+                ]
+            elif self.cfg.exact_online_metrics and self.cfg.k_per_tile > 0:
                 # Honest progress numbers: the k-truncated training render
                 # reads low once dense tiles overflow (see MapperConfig.
                 # exact_online_metrics); report from the exact render like
@@ -558,7 +580,9 @@ class SplaTAMMapper:
         shape = {
             "capacity": int(self.buf.capacity),
             "k_per_tile": int(self.cfg.k_per_tile),
-            "exact_training": self.cfg.exact_training == "on",
+            "exact_training": self.cfg.exact_training
+            if self.cfg.exact_training in ("on", "hybrid")
+            else False,
         }
         if not self.shape_history or {
             k: self.shape_history[-1].get(k) for k in shape

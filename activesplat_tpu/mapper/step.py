@@ -66,7 +66,11 @@ def mapping_loss(
         chunk=cfg.chunk,
         k_per_tile=cfg.k_per_tile,
         backend=forward_backend() if cfg.k_per_tile else "xla",
-        grad_exact=bool(cfg.k_per_tile) and cfg.exact_training == "on",
+        grad_exact=(
+            "hybrid"
+            if (cfg.k_per_tile and cfg.exact_training == "hybrid")
+            else bool(cfg.k_per_tile) and cfg.exact_training == "on"
+        ),
     )
 
     mask = depth_gt > 0
@@ -126,7 +130,11 @@ def mapping_loss_with_tap(
         cam,
         chunk=cfg.chunk,
         k_per_tile=cfg.k_per_tile,
-        grad_exact=bool(cfg.k_per_tile) and cfg.exact_training == "on",
+        grad_exact=(
+            "hybrid"
+            if (cfg.k_per_tile and cfg.exact_training == "hybrid")
+            else bool(cfg.k_per_tile) and cfg.exact_training == "on"
+        ),
     )
     mask = jax.lax.stop_gradient(depth_gt > 0)
     depth_l1 = jnp.sum(jnp.abs(depth_gt - out.depth) * mask) / jnp.maximum(

@@ -401,27 +401,26 @@ def rasterize_tiled(
     )
 
 
-def _rasterize_tiled_data(
+def _sort_pack(
     data: jnp.ndarray,  # (N, 6 + C): [mean2d, conic, opacity, channels]
     key: jnp.ndarray,  # (N,) depth sort key, +inf where invalid
     radius: jnp.ndarray,
     valid: jnp.ndarray,
-    *,
-    width: int,
-    height: int,
-    k_per_tile: int,
-    backend: str,
-    max_passes: int = 1,
 ):
+    """Depth sort with packed binning attributes.
+
+    One multi-operand sort carries the binning attributes with the keys —
+    ~3x cheaper than argsort + a row gather (random-access row gathers are
+    slow on TPU). Sort cost scales with operand count, so the four binning
+    attributes ride in two operands: mean2d as two 16-bit fixed-point
+    (1/8 px) halves of one int32, and (radius, valid) sign-packed in one
+    f32. Binning only needs a conservative screen AABB, so the quantization
+    is absorbed by inflating the radius by the 1/8-px rounding bound —
+    extra marginal tile members blend at zero alpha (< ALPHA_MIN cut).
+
+    Returns (packed (N, 4) [mx, my, radius, valid>0], order (N,) int32
+    sorted -> original index map)."""
     n = data.shape[0]
-    # One multi-operand sort carries the binning attributes with the keys —
-    # ~3x cheaper than argsort + a row gather (random-access row gathers are
-    # slow on TPU). Sort cost scales with operand count, so the four binning
-    # attributes ride in two operands: mean2d as two 16-bit fixed-point
-    # (1/16 px) halves of one int32, and (radius, valid) sign-packed in one
-    # f32. Binning only needs a conservative screen AABB, so the quantization
-    # is absorbed by inflating the radius by the 1/16-px rounding bound —
-    # extra marginal tile members blend at zero alpha (< ALPHA_MIN cut).
     sg = jax.lax.stop_gradient
     # 1/8 px fixed point spans +/-4096 px in int16 — the same limit as the
     # byte-packed tile AABBs (256 tiles of 16 px); finer scales would
@@ -441,7 +440,23 @@ def _rasterize_tiled_data(
     s_my = (((s_xy & 0xFFFF) ^ 0x8000) - 0x8000).astype(data.dtype) / scale
     s_val = (s_vr >= 0.0).astype(data.dtype)
     s_rad = jnp.maximum(s_vr, 0.0) + 2.0 / scale  # rounding-bound inflation
-    packed = jnp.stack([s_mx, s_my, s_rad, s_val], -1)  # (N, 4)
+    return jnp.stack([s_mx, s_my, s_rad, s_val], -1), order  # (N, 4), (N,)
+
+
+def _rasterize_tiled_data(
+    data: jnp.ndarray,  # (N, 6 + C): [mean2d, conic, opacity, channels]
+    key: jnp.ndarray,  # (N,) depth sort key, +inf where invalid
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    k_per_tile: int,
+    backend: str,
+    max_passes: int = 1,
+):
+    n = data.shape[0]
+    packed, order = _sort_pack(data, key, radius, valid)
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
     buckets = _prefix_buckets(n)
@@ -483,6 +498,7 @@ def _rasterize_tiled_prefix(
     k_per_tile: int,
     backend: str = "xla",
     max_passes: int = 1,
+    return_tiles: bool = False,
 ):
     n = data.shape[0]
     c_dim = data.shape[1] - 6
@@ -603,6 +619,11 @@ def _rasterize_tiled_prefix(
         _, accum_t, logt_t, overflow = jax.lax.while_loop(
             needs_more, next_pass, (jnp.int32(1), accum_t, logt_t, overflow)
         )
+
+    if return_tiles:
+        # tile-granularity outputs for the hybrid compositor: identical
+        # shapes across prefix buckets, so the lax.switch stays legal
+        return accum_t, logt_t, overflow
 
     accum_img, logt_img = _tiles_to_image(
         accum_t, logt_t, tiles_x, tiles_y, width, height
@@ -921,3 +942,291 @@ def rasterize_tiled_exact(
     for r in rungs[:-1]:
         idx = idx + (m_total > r).astype(jnp.int32)
     return jax.lax.switch(idx, [functools.partial(_body, r) for r in rungs])
+
+
+def _csr_harmful_fold(
+    packed,  # (N, 4) sorted [mx, my, radius, valid] from _sort_pack
+    order,  # (N,) sorted -> original index map
+    data,  # (N, 6 + C) UNSORTED differentiable attributes
+    harm,  # (T,) bool, stop-gradient: tiles to recomposite exactly
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    ladder: Tuple[float, ...],
+    interpret: bool,
+):
+    """Exact differentiable CSR recompositing of the `harm` tile subset.
+
+    The entry expansion mirrors rasterize_tiled_exact step-for-step, with two
+    restrictions that shrink the budget to roughly the harmful membership
+    total: (1) only Gaussians whose AABB covers >= 1 harmful tile allocate
+    entry slots (the coverage count is one int8 MXU bilinear form per
+    Gaussian: in_y @ harm_image, dotted with in_x — no (N, T) matrix); (2)
+    enumeration stays RECTANGULAR (a kept Gaussian emits its full AABB span,
+    non-harmful cells are routed to the discard key before the tile sort),
+    so no per-Gaussian non-rectangular indexing is ever needed. Every
+    Gaussian covering a harmful tile is by definition kept, so each harmful
+    tile's entry run is complete and depth-ordered — identical to the full
+    CSR walk's run for that tile.
+
+    Returns (accum_t (T, PX, C), logt_t (T, PX), dropped ()) where `dropped`
+    counts entry slots cut by the top budget rung (callers must discard the
+    result and fall back when nonzero). Tiles outside `harm` hold zeros."""
+    from activesplat_tpu.ops.raster_pallas import CSEG, N_ATTR, blend_csr
+
+    n = data.shape[0]
+    c_dim = data.shape[1] - 6
+    t = tiles_x * tiles_y
+
+    s_val, tx0, tx1, ty0, ty1 = tile_aabbs(
+        packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3] > 0,
+        tiles_x, tiles_y,
+    )
+    tx0, tx1, ty0, ty1 = (a.astype(jnp.int32) for a in (tx0, tx1, ty0, ty1))
+    w_g = tx1 - tx0 + 1
+    h_g = ty1 - ty0 + 1
+
+    tile_col = jnp.arange(tiles_x, dtype=jnp.int32)
+    tile_row = jnp.arange(tiles_y, dtype=jnp.int32)
+    in_x = (
+        (tile_col[None, :] >= tx0[:, None])
+        & (tile_col[None, :] <= tx1[:, None])
+        & s_val[:, None]
+    )
+    in_y = (tile_row[None, :] >= ty0[:, None]) & (tile_row[None, :] <= ty1[:, None])
+
+    # harmful-tile coverage per Gaussian: in_y[g] @ harm @ in_x[g]^T
+    harm_yx = harm.reshape(tiles_y, tiles_x).astype(jnp.int8)
+    cover_x = jnp.einsum(
+        "ny,yx->nx", in_y.astype(jnp.int8), harm_yx,
+        preferred_element_type=jnp.int32,
+    )  # (N, tiles_x): harmful rows under each Gaussian's y-interval
+    touch = jnp.sum(cover_x * in_x.astype(jnp.int32), axis=1) > 0
+    v = s_val & touch
+    span = jnp.where(v, w_g * h_g, 0)
+    g_off = jnp.cumsum(span) - span  # exclusive (N,)
+    m_total = g_off[-1] + span[-1]
+
+    # per-tile entry counts: every kept Gaussian covering a harmful tile
+    # emits that entry, so harmful tiles count ALL their covering Gaussians
+    in_x_v = in_x & touch[:, None]
+    count_v = jnp.einsum(
+        "ny,nx->yx", in_y.astype(jnp.int8), in_x_v.astype(jnp.int8),
+        preferred_element_type=jnp.int32,
+    ).reshape(t)
+    count_harm = jnp.where(harm, count_v, 0)
+
+    pga = (tx0 << 16) | (ty0 << 8) | (w_g - 1)
+    pj = jnp.arange(CSEG - 1, dtype=jnp.int32)
+    harm_pad = jnp.concatenate([harm, jnp.zeros((1,), bool)])  # slot t -> False
+
+    pad_row = jnp.concatenate(
+        [
+            jnp.full((1, 2), -1e9, data.dtype),
+            jnp.ones((1, 3), data.dtype),
+            jnp.zeros((1, 1 + c_dim), data.dtype),
+        ],
+        -1,
+    )
+    pad_data = jnp.concatenate([data, pad_row], 0)  # (N+1, 6+C)
+
+    def _align(vv: int) -> int:
+        return -(-max(int(vv), CSEG) // CSEG) * CSEG
+
+    top = _align(min(4 * n, _ENTRY_CAP))
+    rungs = sorted({_align(f * n) for f in ladder if _align(f * n) < top}) + [top]
+
+    def _body(e: int):
+        kept = (g_off + span) <= e
+        m_kept = jnp.max(jnp.where(kept, g_off + span, 0))
+
+        e_idx = jnp.arange(e, dtype=jnp.int32)
+        marks = jnp.zeros((e,), jnp.int32).at[g_off].add(1, mode="drop")
+        gid = jnp.cumsum(marks) - 1  # (E,) owning sorted-gaussian id
+        is_first = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
+        run_start = jax.lax.cummax(jnp.where(is_first, e_idx, 0))
+        local = e_idx - run_start
+        pv = pga[gid]
+        ew = (pv & 0xFF) + 1
+        dx = local % ew
+        dy = local // ew
+        tile_of = (
+            ((pv >> 8) & 0xFF) * tiles_x + dy * tiles_x + ((pv >> 16) & 0xFF) + dx
+        )
+        valid_entry = e_idx < m_kept
+        # entries in non-harmful cells of a kept rectangle go to the discard
+        # key: they waste budget slots (bounded by the rectangle/harmful
+        # ratio) but never an indexing structure
+        keep_e = valid_entry & harm_pad[jnp.clip(tile_of, 0, t)]
+        entry_key = jnp.where(keep_e, tile_of, t)
+        gid_e = jnp.where(keep_e, gid, n)
+
+        pad_needed = (-count_harm) % CSEG  # (T,)
+        pad_key = jnp.where(
+            pj[None, :] < pad_needed[:, None],
+            jnp.arange(t, dtype=jnp.int32)[:, None],
+            t,
+        ).reshape(-1)
+
+        keys_all = jnp.concatenate([entry_key, pad_key])
+        gid_all = jnp.concatenate([gid_e, jnp.full(pad_key.shape, n, jnp.int32)])
+        e_tot = -(-keys_all.shape[0] // CSEG) * CSEG
+        if e_tot != keys_all.shape[0]:
+            extra = e_tot - keys_all.shape[0]
+            keys_all = jnp.concatenate([keys_all, jnp.full((extra,), t, jnp.int32)])
+            gid_all = jnp.concatenate([gid_all, jnp.full((extra,), n, jnp.int32)])
+        sorted_key, sorted_gid = jax.lax.sort(
+            (keys_all, gid_all), dimension=0, is_stable=True, num_keys=1
+        )
+
+        global_ids = jnp.where(
+            sorted_gid >= n, n, order[jnp.minimum(sorted_gid, n - 1)]
+        )
+        entry_data = jnp.pad(
+            pad_data[global_ids], ((0, 0), (0, N_ATTR - 6 - c_dim))
+        )  # (E_tot, N_ATTR) — narrow gather: its transpose scatter-add in
+        # the backward moves only the live columns
+
+        n_seg = e_tot // CSEG
+        seg_counts = (count_harm + pad_needed) // CSEG
+        seg_starts = jnp.cumsum(seg_counts) - seg_counts
+        seg_marks = (
+            jnp.zeros((n_seg,), jnp.int32).at[seg_starts].add(1, mode="drop")
+        )
+        seg_of = jnp.cumsum(seg_marks) - 1
+        s_used = jnp.sum(seg_counts)
+        seg_tile = jnp.where(jnp.arange(n_seg) < s_used, seg_of, t)
+        in_grid = seg_tile < t
+        seg_u0 = jnp.where(in_grid, (seg_tile % tiles_x) * TILE, 0)
+        seg_v0 = jnp.where(in_grid, (seg_tile // tiles_x) * TILE, 0)
+
+        accum_t, logt_t = blend_csr(
+            entry_data, seg_tile, seg_u0, seg_v0, t, c_dim, interpret
+        )
+        visited = count_harm > 0
+        accum_t = jnp.where(visited[:, None, None], accum_t, 0.0)
+        logt_t = jnp.where(visited[:, None], logt_t, 0.0)
+        return accum_t, logt_t, m_total - m_kept
+
+    if len(rungs) == 1:
+        return _body(rungs[0])
+    idx = jnp.int32(0)
+    for r in rungs[:-1]:
+        idx = idx + (m_total > r).astype(jnp.int32)
+    return jax.lax.switch(idx, [functools.partial(_body, r) for r in rungs])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "k_per_tile", "backend", "ladder"),
+)
+def rasterize_tiled_hybrid(
+    mean2d: jnp.ndarray,  # (N, 2) UNSORTED (projection order)
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    colors: jnp.ndarray,  # (N, C)
+    valid: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,  # (N,)
+    *,
+    width: int,
+    height: int,
+    k_per_tile: int = 256,
+    backend: str = "xla",
+    ladder: Tuple[float, ...] = (0.0625, 0.25),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hybrid exact differentiable compositing: k-capped everywhere, CSR
+    only where the cap actually bites.
+
+    The full differentiable CSR walk (rasterize_tiled_exact
+    differentiable=True) pays O(total memberships) on EVERY training render
+    — measured a flat ~2.5x over the capped path (84.6 vs 33.5 ms/iter at
+    1M/k=1024) — even though in a converged map only a minority of tiles
+    overflow HARMFULLY: saturated tiles early-exit at the same LOG_EPS
+    transmittance in both kernels (truncation past saturation is invisible
+    to image and gradients alike), and under-k tiles are already uncapped.
+    So: run the k-capped differentiable blend for every tile (with its
+    visible-prefix bucket switch), mark tiles with `overflow > 0` whose
+    end-of-list transmittance is still above the blend kernels' shared
+    LOG_EPS exit threshold, recomposite exactly those tiles with the
+    differentiable CSR blend (_csr_harmful_fold), and select per tile with
+    a stop-gradient mask — AD routes each tile's cotangents to whichever
+    branch produced it. Matches the CUDA reference's uncapped dynamic-list
+    training semantics (reference splatam.py:208-212) at a cost of capped +
+    O(harmful memberships).
+
+    `ladder`: static fractions of N offered as CSR entry-budget rungs below
+    the exactness bound min(4N, entry cap); the actual harmful total picks
+    the smallest rung that fits (usually far below the full walk's).
+
+    Returns (accum (H*W, C), log_transmittance (H*W,), dropped (),
+    csr_overflow ()). `dropped` is the k-capped path's harmful-truncation
+    TELEMETRY (the mapper's k-escalation pressure signal — escalating k
+    shrinks the harmful set and with it the CSR work); exactness does not
+    depend on it. `csr_overflow` > 0 means the harmful expansion exceeded
+    the top budget rung: the caller MUST discard this result and fall back
+    (render_projected degrades to the k-capped render, exactly as the full
+    CSR training path does)."""
+    from activesplat_tpu.ops.raster_pallas import LOG_EPS
+
+    n = mean2d.shape[0]
+    c_dim = colors.shape[-1]
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    key = jnp.where(valid, depth, jnp.inf)
+    data = jnp.concatenate([mean2d, conic, opacity[:, None], colors], -1)
+    packed, order = _sort_pack(data, key, radius, valid)  # ONE sort, shared
+    # by the capped pass and the harmful-tile CSR expansion
+
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    buckets = _prefix_buckets(n)
+
+    def branch(b):
+        def run():
+            return _rasterize_tiled_prefix(
+                packed[:b],
+                order,
+                data,
+                width=width,
+                height=height,
+                k_per_tile=min(k_per_tile, b),
+                backend=backend,
+                max_passes=1,
+                return_tiles=True,
+            )
+
+        return run
+
+    index = jnp.searchsorted(jnp.asarray(buckets), n_valid, side="left")
+    accum_t, logt_t, overflow = jax.lax.switch(
+        index, [branch(b) for b in buckets]
+    )
+
+    end_logt = jnp.max(logt_t, axis=1)  # (T,) end-of-k-list log-transmittance
+    harm = jax.lax.stop_gradient((overflow > 0) & (end_logt > LOG_EPS))
+    csr_accum, csr_logt, csr_overflow = _csr_harmful_fold(
+        packed,
+        order,
+        data,
+        harm,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        ladder=ladder,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    accum_t = jnp.where(harm[:, None, None], csr_accum, accum_t)
+    logt_t = jnp.where(harm[:, None], csr_logt, logt_t)
+
+    unsaturated = end_logt > _SATURATED_LOG_T  # 2% telemetry threshold
+    dropped = jnp.sum(jnp.where(unsaturated, overflow, 0))
+
+    accum_img, logt_img = _tiles_to_image(
+        accum_t, logt_t, tiles_x, tiles_y, width, height
+    )
+    return (
+        accum_img.reshape(height * width, c_dim),
+        logt_img.reshape(height * width),
+        jax.lax.stop_gradient(dropped),
+        csr_overflow,
+    )

@@ -56,7 +56,7 @@ def render_projected(
     backend: str = "xla",
     exact: bool = False,
     exact_ladder: tuple = (0.5, 1.0, 2.0),
-    grad_exact: bool = False,
+    grad_exact=False,  # False | True (full CSR) | "hybrid"
 ) -> RenderOutput:
     """Rasterize already-projected Gaussians (see `render` for the full path).
 
@@ -85,7 +85,16 @@ def render_projected(
     If the view's memberships overflow the entry budget (>4N, essentially
     unreachable for frustum views), it falls back to the k-capped
     differentiable render; `dropped` then reports that path's harmful
-    truncations, and stays 0 otherwise."""
+    truncations, and stays 0 otherwise.
+
+    grad_exact="hybrid" keeps the same exact-training semantics at a cost
+    of capped + O(harmful memberships): the k-capped differentiable blend
+    runs everywhere and only tiles whose truncation would actually bias the
+    image/gradients are recomposited with the CSR blend
+    (rasterize_tiled_hybrid). `dropped` reports the capped path's harmful
+    truncations as TELEMETRY (k escalation shrinks the CSR workload) even
+    though training is unbiased; on harmful-expansion budget overflow it
+    falls back to the k-capped render like grad_exact=True does."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
 
@@ -112,7 +121,51 @@ def render_projected(
     else:
         bin_radius, bin_valid = proj.radius, proj.valid
 
-    if k_per_tile > 0 and grad_exact:
+    if k_per_tile > 0 and grad_exact == "hybrid":
+        from activesplat_tpu.ops.raster_tiled import (
+            rasterize_tiled,
+            rasterize_tiled_hybrid,
+        )
+
+        accum0, log_t0, dropped0, csr_overflow = rasterize_tiled_hybrid(
+            proj.mean2d,
+            proj.conic,
+            opacities,
+            channels,
+            bin_valid,
+            bin_radius,
+            proj.depth,
+            width=cam.width,
+            height=cam.height,
+            k_per_tile=k_per_tile,
+            backend=backend,
+        )
+
+        # harmful-expansion budget overflow: degrade to the k-capped
+        # differentiable render (same policy as grad_exact=True)
+        def _fallback_h(_):
+            return rasterize_tiled(
+                proj.mean2d,
+                proj.conic,
+                opacities,
+                channels,
+                bin_valid,
+                bin_radius,
+                proj.depth,
+                width=cam.width,
+                height=cam.height,
+                k_per_tile=k_per_tile,
+                backend=backend,
+                max_passes=1,
+            )
+
+        accum, log_t, dropped = jax.lax.cond(
+            csr_overflow > 0,
+            _fallback_h,
+            lambda _: (accum0, log_t0, dropped0),
+            None,
+        )
+    elif k_per_tile > 0 and grad_exact:
         from activesplat_tpu.ops.raster_tiled import (
             rasterize_tiled,
             rasterize_tiled_exact,
@@ -273,7 +326,7 @@ def render(
     backend: str = "xla",
     exact: bool = False,
     exact_ladder: tuple = (0.5, 1.0, 2.0),
-    grad_exact: bool = False,
+    grad_exact=False,  # False | True (full CSR) | "hybrid"
 ) -> RenderOutput:
     """Render the Gaussian map into `cam`. Differentiable in all parameters.
 

@@ -285,7 +285,9 @@ def sharded_mapping_loss(
         rgb, depth, alpha, radii, dropped = render_sharded_tiled(
             buf.replace(params=params), cam, mesh,
             k_per_tile=cfg.k_per_tile, backend=backend,
-            grad_exact=cfg.exact_training == "on",
+            # mesh path: "hybrid" maps to the full shard-block CSR walk (the
+            # harmful-tile fold is single-device only for now)
+            grad_exact=cfg.exact_training in ("on", "hybrid"),
         )
     else:
         rgb, depth, alpha, radii, dropped = render_sharded(

@@ -290,7 +290,21 @@ def bench_roofline(n_gaussians: int, width: int, height: int, reps: int = 30):
         "pct_mxu_peak": round(100 * tflops / V5E_BF16_TFLOPS, 1),
     }
 
-    # 5. Whole mapping iteration vs its parameter-stream lower bound: the
+    # 5-11. mapping-iteration INTERNAL stages (VERDICT r4 item 9): each
+    # timed as its own chained jit at the REAL shapes the step uses
+    # (capacity table, the visible-prefix bucket the step's lax.switch picks,
+    # (T, K) tile lists), with a STATED minimal-traffic bytes model so
+    # pct_hbm_peak is auditable: it is "achieved fraction of peak IF the
+    # stage moved only its modeled floor bytes" — low pct means either extra
+    # passes (sorts are inherently multi-pass vs the 1-pass model) or
+    # latency-bound access (gathers), exactly the signal that localizes
+    # regressions in the 8.7 ms iteration.
+    try:
+        out.update(_roofline_mapping_stages(buf, cam, cfg, reps))
+    except Exception as exc:  # pragma: no cover - relay hiccups
+        print(f"stage roofline failed: {exc!r}", file=sys.stderr)
+
+    # 12. Whole mapping iteration vs its parameter-stream lower bound: the
     # step must at minimum stream what Adam streams (7P: grads exist and
     # params/moments update), so pct is "fraction of time spent at the
     # unavoidable-bandwidth floor". Short run — the headline measures it/s.
@@ -320,6 +334,196 @@ def bench_roofline(n_gaussians: int, width: int, height: int, reps: int = 30):
                       "bf16_tflops": V5E_BF16_TFLOPS},
         "roofline": out,
     }))
+
+
+def _roofline_mapping_stages(buf, cam, cfg, reps):
+    """Per-stage roofline rows for the mapping iteration's pipeline:
+    projection, depth sort, tile binning, blend gather, blend fwd, blend
+    bwd kernel, backward scatter-add. Returns {stage: row} dicts shaped
+    like the primitive rows (ms / modeled bytes / achieved GB/s / % peak)."""
+    import jax
+    import jax.numpy as jnp
+
+    from activesplat_tpu.ops.projection import (
+        adaptive_cull_radius,
+        project_gaussians,
+    )
+    from activesplat_tpu.ops.raster_pallas import blend_tiles, blend_tiles_pallas
+    from activesplat_tpu.ops.raster_tiled import (
+        TILE,
+        _prefix_buckets,
+        _sort_pack,
+        bin_gaussians,
+    )
+
+    p = buf.params
+    width, height = cam.width, cam.height
+    k = cfg.k_per_tile
+    n = int(p.means3d.shape[0])
+    t = (-(-width // TILE)) * (-(-height // TILE))
+    rows = {}
+
+    def add(name, dt, nbytes):
+        gbps = nbytes / dt / 1e9
+        rows[name] = {
+            "ms": round(dt * 1e3, 3), "model_bytes": int(nbytes),
+            "achieved_gbps": round(gbps, 1),
+            "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1),
+        }
+
+    def chain(body0):
+        """reps-chained jit with a serializing carry; returns seconds/rep."""
+
+        @jax.jit
+        def run():
+            def body(i, acc):
+                return acc + body0(acc) * 1e-20 + 1.0
+
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        return _timed_chain(run, reps)
+
+    # projection (+ the binning-only adaptive cull): pure elementwise.
+    # model: params in (means 12 + quats 16 + scales 12 + opac 4 + active 1)
+    # + proj out (mean2d 8, conic 12, depth 4, radius 4, valid 1, cull 4)
+    opac = jax.nn.sigmoid(p.logit_opacities)
+
+    def proj_body(acc):
+        pr = project_gaussians(
+            p.means3d.at[0, 0].add(acc * 1e-30), p.quats, p.log_scales,
+            buf.active, cam.w2c, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.width, cam.height, near=cam.near, far=cam.far,
+        )
+        r, v = adaptive_cull_radius(pr.radius, pr.valid, opac)
+        return pr.mean2d[0, 0] + r[0] + v[0]
+
+    add("stage_projection", chain(proj_body), (45 + 33) * n)
+
+    proj = jax.jit(
+        lambda: project_gaussians(
+            p.means3d, p.quats, p.log_scales, buf.active, cam.w2c, cam.fx,
+            cam.fy, cam.cx, cam.cy, cam.width, cam.height, near=cam.near,
+            far=cam.far,
+        )
+    )()
+    bin_radius, bin_valid = adaptive_cull_radius(proj.radius, proj.valid, opac)
+    channels = jnp.concatenate(
+        [p.rgb, proj.depth[:, None], (proj.depth**2)[:, None]], -1
+    )
+    data = jnp.concatenate(
+        [proj.mean2d, proj.conic, opac[:, None], channels], -1
+    )
+    key = jnp.where(bin_valid, proj.depth, jnp.inf)
+
+    # depth sort: 4 packed operands. model: ONE read+write pass of the
+    # operands (16 B/row each way) — real device sorts are multi-pass, so
+    # pct directly shows the multi-pass factor.
+    def sort_body(acc):
+        pk, od = _sort_pack(
+            data.at[0, 0].add(acc * 1e-30), key, bin_radius, bin_valid
+        )
+        return pk[0, 0] + od[0].astype(jnp.float32)
+
+    add("stage_depth_sort", chain(sort_body), 2 * 16 * n)
+
+    packed, order = _sort_pack(data, key, bin_radius, bin_valid)
+    buckets = _prefix_buckets(n)
+    n_vis = int(np.asarray(jnp.sum(bin_valid.astype(jnp.int32))))
+    b = next(bb for bb in buckets if bb >= n_vis)  # the switch's choice
+    blk = 128
+
+    # tile binning at the visible bucket. model: interval indicators in
+    # (B x (tx+ty) i8), gathered AABB rows + bit walk (T*K*blk i32), counts
+    # + lists out
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+
+    def bin_body(acc):
+        lists = bin_gaussians(
+            packed[:b, :2] + acc * 1e-30, packed[:b, 2], packed[:b, 3] > 0,
+            width, height, min(k, b),
+        )
+        return lists.indices[0, 0].astype(jnp.float32)
+
+    add(
+        "stage_bin", chain(bin_body),
+        b * (tiles_x + tiles_y) + t * min(k, b) * blk * 4 + t * min(k, b) * 4,
+    )
+
+    lists = bin_gaussians(
+        packed[:b, :2], packed[:b, 2], packed[:b, 3] > 0, width, height,
+        min(k, b),
+    )
+    pad_row = jnp.concatenate(
+        [jnp.full((1, 2), -1e9, jnp.float32), jnp.ones((1, 3), jnp.float32),
+         jnp.zeros((1, 6), jnp.float32)], -1,
+    )
+    gids = jnp.where(
+        lists.indices >= b, n, order[jnp.minimum(lists.indices, n - 1)]
+    )
+
+    # blend gather (T, K, 16): model = one table sweep (measured: XLA
+    # row-gather cost scales with TABLE rows, CLAUDE.md) + the output
+    def gather_body(acc):
+        pad_data = jnp.concatenate(
+            [data.at[0, 0].add(acc * 1e-30), pad_row], 0
+        )
+        td = jnp.pad(pad_data[gids], ((0, 0), (0, 0), (0, 16 - 11)))
+        return td[0, 0, 0]
+
+    add(
+        "stage_blend_gather", chain(gather_body),
+        n * 11 * 4 + t * min(k, b) * 16 * 4,
+    )
+
+    pad_data = jnp.concatenate([data, pad_row], 0)
+    tile_data = jnp.pad(pad_data[gids], ((0, 0), (0, 0), (0, 16 - 11)))
+    u0 = jnp.asarray((np.arange(t) % tiles_x) * TILE, jnp.int32)
+    v0 = jnp.asarray((np.arange(t) // tiles_x) * TILE, jnp.int32)
+    interp = jax.default_backend() != "tpu"
+    px = TILE * TILE
+
+    # blend forward (fused Pallas kernel): tile_data in + image blocks out
+    def blend_fwd_body(acc):
+        a, l = blend_tiles_pallas(
+            tile_data.at[0, 0, 0].add(acc * 1e-30), u0, v0, 5, interp
+        )
+        return a[0, 0, 0] + l[0, 0]
+
+    blend_io = tile_data.nbytes + t * px * 9 * 4
+    add("stage_blend_fwd", chain(blend_fwd_body), blend_io)
+
+    # blend fwd+bwd (custom VJP: stashed entry log-transmittance residual,
+    # reverse walk). model: fwd IO + residual (T*K px-rows) + d_tile_data out
+    blend_grad = jax.grad(
+        lambda td: jnp.sum(blend_tiles(td, u0, v0, 5, interp)[0])
+    )
+
+    def blend_bwd_body(acc):
+        g = blend_grad(tile_data.at[0, 0, 0].add(acc * 1e-30))
+        return g[0, 0, 0]
+
+    seg = 64
+    n_seg_rows = t * (-(-min(k, b) // seg))
+    add(
+        "stage_blend_fwd_bwd", chain(blend_bwd_body),
+        2 * blend_io + n_seg_rows * px * 4 + tile_data.nbytes,
+    )
+
+    # backward scatter-add (the gather's transpose): table read+write + the
+    # cotangent rows — the measured ~1.7 ms XLA floor in context
+    d_td = jnp.ones_like(tile_data)
+
+    def scatter_body(acc):
+        out_t = jnp.zeros((n + 1, 16), jnp.float32)
+        out_t = out_t.at[gids + (acc.astype(jnp.int32) & 0)].add(d_td)
+        return out_t[0, 0]
+
+    add(
+        "stage_bwd_scatter_add", chain(scatter_body),
+        2 * (n + 1) * 16 * 4 + d_td.nbytes,
+    )
+    return rows
 
 
 def bench_mapping(n_gaussians: int, width: int, height: int, iters_timed: int,

@@ -62,12 +62,19 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         return best * 1e3
 
-    off_ms = timed("off")
-    on_ms = timed("on")
+    modes = os.environ.get("PROF_MODES", "off,on,hybrid").split(",")
+    times = {m: timed(m) for m in modes}
     print(f"n={n} res={res} k={k} iters={iters}")
-    print(f"k-capped   : {off_ms:8.3f} ms/iter  ({1e3/off_ms:6.1f} it/s)")
-    print(f"exact CSR  : {on_ms:8.3f} ms/iter  ({1e3/on_ms:6.1f} it/s)")
-    print(f"ratio      : {on_ms/off_ms:8.3f}x")
+    label = {"off": "k-capped", "on": "exact CSR", "hybrid": "hybrid"}
+    for m in modes:
+        print(
+            f"{label.get(m, m):11s}: {times[m]:8.3f} ms/iter  "
+            f"({1e3/times[m]:6.1f} it/s)"
+        )
+    if "off" in times:
+        for m in modes:
+            if m != "off":
+                print(f"ratio {m}/off: {times[m]/times['off']:.3f}x")
 
 
 if __name__ == "__main__":

@@ -169,9 +169,11 @@ def test_mapping_loss_exact_training_matches_uncapped(rng):
 
 def test_mapper_auto_switches_to_exact_training(capsys):
     """exact_training='auto' (the default): when harmful drops persist AT the
-    k ceiling, the mapper swaps the training render to exact CSR compositing
-    instead of warning-and-training-on-biased-gradients; the transition lands
-    in shape_history and subsequent training renders report dropped == 0."""
+    k ceiling, the mapper swaps the training render to HYBRID exact
+    compositing (capped blend + CSR recompositing of harmfully overflowing
+    tiles) instead of warning-and-training-on-biased-gradients; the
+    transition lands in shape_history. Post-switch, `dropped` stays a
+    telemetry signal (k-cap pressure) — training is unbiased regardless."""
     from tests.test_overflow import make_intrinsics as mk32, run_frames
 
     cfg = MapperConfig(
@@ -193,9 +195,9 @@ def test_mapper_auto_switches_to_exact_training(capsys):
     mapper = SplaTAMMapper(cfg, 32, 32, mk32(), step_num=8)
     run_frames(mapper, n_frames=3)
     out = capsys.readouterr().out
-    assert "switching the training render to exact CSR" in out
-    assert mapper.cfg.exact_training == "on"
+    assert "switching the training render to hybrid exact" in out
+    assert mapper.cfg.exact_training == "hybrid"
     assert mapper.cfg.k_per_tile == 16  # k itself never moved
-    assert any(s.get("exact_training") for s in mapper.shape_history)
-    # post-switch mapping events composite exactly: no harmful truncations
-    assert mapper.last_metrics["dropped"] == 0
+    assert any(
+        s.get("exact_training") == "hybrid" for s in mapper.shape_history
+    )
