@@ -181,6 +181,29 @@ class PlannerFSM:
         # test can reject every fresh plan forever when the agent sits in a
         # free-map pocket)
         self._no_move_bounces = 0
+        # decision ledger: one dict per planner decision (state transitions,
+        # target picks with their scores, refine begin/end, bounces, score
+        # rounds). Written to planner_log.jsonl by save_results — the
+        # mechanical record behind exploration-stall diagnosis (the r4
+        # completeness regression was invisible without it).
+        self.decision_log: List[Dict] = []
+        self._tick_count = 0
+        # scan-churn breaker (round-5 robustness extension, sibling of the
+        # livelock breaker above). Diagnosed failure mode (r04_exact /
+        # r05_cold, two_room-0): fresh Voronoi nodes keep materializing
+        # ~0.5 m ahead as the free map grows toward an unexplored room, every
+        # one scores top invisibility (they all see the same unmapped void
+        # through the doorway), nearest-among-ties selection hops to each,
+        # and every arrival pays a full LOCAL_REFINE scan (~40 actions) —
+        # 700+ of the 1000-step budget went to rotations within a 2x2 m
+        # pocket while use_local (SUBREGION_MAX_SCORE_THRESHOLD on RAW
+        # invisible-pixel counts) never released. When the last 3 refines
+        # began within px_as_visited of each other, one selection round (a)
+        # ignores the local-subregion gate and (b) breaks score ties by
+        # FARTHEST reachable node instead of nearest, which moves the agent
+        # out of the saturated pocket. Reference semantics resume next tick.
+        self._refine_px_history: List[np.ndarray] = []
+        self.scan_churn_breaks = 0
 
         bus.subscribe("camera_pose", self._on_pose)
         bus.subscribe("movement_fail_times", self._on_movement_fail)
@@ -250,6 +273,13 @@ class PlannerFSM:
     # ------------------------------------------------------------------ #
     # movement helpers
 
+    def _log(self, event: str, **fields) -> None:
+        entry = {"tick": self._tick_count, "event": event}
+        if self.pose:
+            entry["px"] = [round(float(v), 1) for v in self.pose["px"]]
+        entry.update(fields)
+        self.decision_log.append(entry)
+
     def _move(self, twist) -> None:
         self._last_twist = twist
         self._no_move_bounces = 0
@@ -263,6 +293,8 @@ class PlannerFSM:
         the FSM forces ESCAPE, whose rotate-and-probe physically breaks the
         free-map pocket causing every fresh plan to fail its line test."""
         self._no_move_bounces += 1
+        self._log("bounce", n=self._no_move_bounces,
+                  target=self.navigation_target_index)
         if (
             self._no_move_bounces % 3 == 0
             and self.navigation_target_index is not None
@@ -501,6 +533,12 @@ class PlannerFSM:
                     self.nodes_invis_score += self.weights[key] * flag
                 else:
                     self.nodes_score += self.weights[key] * flag
+        self._log(
+            "scores", n_nodes=n, n_fail=len(self.fail_nodes_index),
+            max_invis=int(self.nodes_invis_score.max()) if n else 0,
+            max_score=int(self.nodes_score.max()) if n else 0,
+            n_unarrived=int(flags["UNARRIVED"].sum()),
+        )
 
     # ------------------------------------------------------------------ #
     # state handlers
@@ -520,6 +558,7 @@ class PlannerFSM:
             _time.sleep(0.02)  # idle; movement comes from elsewhere
             return
         was_select = self.state == PlannerState.SELECT_TARGET
+        prev_state = self.state
         handler = {
             PlannerState.BOOTSTRAP: self._tick_bootstrap,
             PlannerState.SELECT_TARGET: self._tick_select_target,
@@ -528,6 +567,12 @@ class PlannerFSM:
             PlannerState.ESCAPE: self._tick_escape,
         }[self.state]
         handler()
+        self._tick_count += 1
+        if self.state is not prev_state:
+            self._log(
+                "state", frm=prev_state.value, to=self.state.value,
+                visited=len(self.visited_px),
+            )
         if was_select:
             self._push_live_overlay()
 
@@ -650,6 +695,7 @@ class PlannerFSM:
         # hierarchical subregion plan (planner_node.py:267-344)
         nodes_index = np.asarray(self.vg.nodes_index)
         nodes_score = np.asarray(self.nodes_score)
+        churn = self._scan_churn()  # scan-churn breaker (see __init__ note)
         if USE_HIERARCHICAL_PLAN and closest in self.subregions:
             current_subregion = self.subregions[closest]
             in_cur = np.array(
@@ -671,7 +717,16 @@ class PlannerFSM:
             use_local = (
                 not all_visited
                 and np.nanmax(cur_invis_in) >= SUBREGION_MAX_SCORE_THRESHOLD
+                and not churn
             )
+            self._log(
+                "subregion", use_local=bool(use_local),
+                all_visited=bool(all_visited), churn=bool(churn),
+                max_invis_in=int(np.nanmax(cur_invis_in)),
+                arrived=int(arrived_count), members=int(in_cur.sum()),
+            )
+            if churn:
+                self.scan_churn_breaks += 1
             if use_local:
                 sel_index = nodes_index[in_cur]
                 sel_score = cur_scores[in_cur]
@@ -723,6 +778,11 @@ class PlannerFSM:
                     continue
                 if self.weights is None:
                     choice = int(self.rng.choice(np.where(~np.isnan(lengths))[0]))
+                elif churn:
+                    # scan-churn breaker: leave the saturated pocket — pick
+                    # the FARTHEST reachable node of this score tier instead
+                    # of the nearest (one selection round only)
+                    choice = int(np.nanargmax(lengths))
                 else:
                     choice = int(np.nanargmin(lengths))
                 if lengths[choice] > self.max_steps_to_target * self.step_px:
@@ -740,6 +800,8 @@ class PlannerFSM:
         if self.navigation_path is None:
             # nothing reachable: re-bootstrap with a forced global plan
             # (planner_node.py:474-479)
+            self._log("no_target", n_nodes=len(nodes_index),
+                      n_fail=len(self.fail_nodes_index))
             self.state = PlannerState.BOOTSTRAP
             return
         self.whole_navigation_path_3d = np.array(
@@ -747,6 +809,21 @@ class PlannerFSM:
                 topdown_to_world(p, self.topdown_cfg, 0.0)
                 for p in np.vstack([self.pose["px"], self.navigation_path])
             ]
+        )
+        tgt = int(self.navigation_target_index)
+        pos = np.where(nodes_index == tgt)[0]
+        self._log(
+            "target",
+            node=tgt,
+            node_px=[round(float(v), 1) for v in self.vg.vertices[tgt]],
+            score=int(nodes_score[pos[0]]) if len(pos) else None,
+            invis=int(np.asarray(self.nodes_invis_score)[pos[0]])
+            if len(pos) else None,
+            path_px=round(
+                float(np.sum(np.linalg.norm(
+                    np.diff(np.vstack([self.pose["px"], self.navigation_path]),
+                            axis=0), axis=1))), 1),
+            n_nodes=len(nodes_index), n_fail=len(self.fail_nodes_index),
         )
         self.state = PlannerState.NAVIGATE
 
@@ -848,7 +925,28 @@ class PlannerFSM:
 
     # -- local refinement at arrivals (planner_node.py:483-673)
 
+    def _scan_churn(self) -> bool:
+        """True when the last 3 LOCAL_REFINE scans all began within
+        px_as_visited of the most recent one — the agent is farming scans
+        inside one pocket (see the breaker note in __init__)."""
+        if len(self._refine_px_history) < 3:
+            return False
+        last = np.asarray(self._refine_px_history[-3:])
+        # 2x the visited radius: the r04_exact pocket spanned ~1.4 m while
+        # px_as_visited is 0.65 m — scans that close together cannot see
+        # meaningfully different panoramas
+        return bool(
+            np.all(
+                np.linalg.norm(last - last[-1], axis=1)
+                < 2.0 * self.px_as_visited
+            )
+        )
+
     def _begin_local_refine(self) -> None:
+        self._log("refine_begin",
+                  continue_global=bool(self.continue_global_navigation))
+        self._refine_px_history.append(np.asarray(self.pose["px"], np.float64))
+        del self._refine_px_history[:-4]
         self.state = PlannerState.LOCAL_REFINE
         self.local_view_count = 1
         self.local_targets = []
@@ -1014,7 +1112,17 @@ class PlannerFSM:
             )
 
     def save_results(self) -> None:
-        """visited_map.png + topdown_free_map.png (planner_node.py:1652-1656)."""
+        """visited_map.png + topdown_free_map.png (planner_node.py:1652-1656)
+        plus the decision ledger (planner_log.jsonl, see decision_log)."""
+        if self.decision_log and self.results_dir:
+            os.makedirs(self.results_dir, exist_ok=True)
+            import json as _json
+
+            with open(
+                os.path.join(self.results_dir, "planner_log.jsonl"), "w"
+            ) as fh:
+                for entry in self.decision_log:
+                    fh.write(_json.dumps(entry) + "\n")
         if self.free_map is None:
             return
         os.makedirs(self.results_dir, exist_ok=True)

@@ -273,3 +273,69 @@ def test_nodeless_graph_scores_empty(tmp_path):
         PlannerState.BOOTSTRAP,
         PlannerState.NAVIGATE,
     )
+
+
+def test_scan_churn_breaker_picks_farthest(tmp_path):
+    """Three LOCAL_REFINE scans inside one pocket flip ONE selection round to
+    farthest-of-tier (and release the local-subregion gate) — the r04/r05
+    exploration stall: baby-hop targets + a ~40-action scan per arrival
+    drained 700 steps inside a 2x2 m pocket (see the breaker note in
+    PlannerFSM.__init__)."""
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm._refresh_maps(arrived=True)
+    fsm._refresh_graph(arrived=True)
+
+    # no churn yet: _scan_churn is False with <3 refines
+    assert not fsm._scan_churn()
+    # three refine positions within 2*px_as_visited of each other => churn
+    # (seed the history directly — ScriptedWorld's set_mapper stub returns a
+    # bool, so driving the full refine path is a different test's job)
+    for du in (0.0, 3.0, 6.0):
+        fsm._refine_px_history.append(np.array([10.0 + du, 50.0]))
+    assert fsm._scan_churn()
+
+    # score all nodes equally so the tie-break decides; run one selection
+    fsm.bus.publish("camera_pose", pose_c2w(10, 50))
+    fsm.state = PlannerState.SELECT_TARGET
+    fsm.tick()
+    assert fsm.state == PlannerState.NAVIGATE
+    assert fsm.scan_churn_breaks >= 0  # counter exists (hierarchical branch)
+    chosen_far = fsm.vg.vertices[fsm.navigation_target_index]
+
+    # rerun the same selection WITHOUT churn: nearest-of-tier must win, and
+    # under equal scores the churn pick must be at least as far as that one
+    fsm2_bus, _, fsm2 = make_fsm(tmp_path)
+    fsm2._refresh_maps(arrived=True)
+    fsm2._refresh_graph(arrived=True)
+    fsm2.bus.publish("camera_pose", pose_c2w(10, 50))
+    fsm2.state = PlannerState.SELECT_TARGET
+    fsm2.tick()
+    assert fsm2.state == PlannerState.NAVIGATE
+    chosen_near = fsm2.vg.vertices[fsm2.navigation_target_index]
+    px = fsm.pose["px"]
+    assert np.linalg.norm(chosen_far - px) >= np.linalg.norm(
+        chosen_near - px
+    ) - 1e-9
+
+    # a refine far away clears the churn window
+    fsm._refine_px_history.append(np.array([80.0, 50.0]))
+    del fsm._refine_px_history[:-4]
+    assert not fsm._scan_churn()
+
+
+def test_decision_log_written(tmp_path):
+    """save_results dumps the decision ledger as planner_log.jsonl."""
+    import json
+    import os
+
+    bus, world, fsm = make_fsm(tmp_path)
+    fsm._refresh_maps(arrived=True)
+    fsm._refresh_graph(arrived=True)
+    fsm.state = PlannerState.SELECT_TARGET
+    fsm.tick()
+    fsm.save_results()
+    path = os.path.join(str(tmp_path), "planner_log.jsonl")
+    assert os.path.exists(path)
+    events = [json.loads(l) for l in open(path)]
+    kinds = {e["event"] for e in events}
+    assert "scores" in kinds and ("target" in kinds or "no_target" in kinds)
