@@ -43,9 +43,7 @@ class MapperNode:
         pano_scale: float = 1.0,
         record_view_every: int = 100,
         live_view_port: Optional[int] = None,
-        pano_cache: str = "reach",  # off | version | reach
-        pano_cache_margin: float = 0.25,
-        pano_cache_max_age: int = 200,
+        pano_cache: str = "version",  # off | version
         pano_cache_capacity: int = 1024,
         topdown_incremental: bool = True,
     ) -> None:
@@ -111,22 +109,21 @@ class MapperNode:
         # r03 episode's planner time (27.6 s/call). Keyed on the quantized
         # node position; modes:
         #   "off"     — always fresh (reference behavior);
-        #   "version" — reuse iff mapper.map_version is unchanged (exact);
-        #   "reach"   — additionally reuse across map changes when every
-        #               change AABB since the cached version lies beyond the
-        #               node's visible reach (+margin): a fully solid
-        #               panorama can only be affected by changes within its
-        #               rendered depth, while any hole pixel forces a
-        #               re-score (reach = inf, see queries/panorama.py).
+        #   "version" — reuse iff mapper.map_version is unchanged (exact).
+        # A richer "reach" mode (reuse across map changes whose AABBs lay
+        # beyond the node's visible reach, with a 2D line-of-sight occluder
+        # test per change box) was built in round 4 and REMOVED in round 5
+        # on measurement: 0 hits in 192 lookups (r04 cold) and 0 hits /
+        # 17 stale of 115 lookups with LOS invalidation live (r05 cold,
+        # EPISODE_r05) — the map mutates between every global scoring round
+        # and Voronoi nodes move between ticks, so cross-version reuse never
+        # validated once on hardware.
         # Orientation note: panoramas start at the CURRENT camera yaw; the
         # 360deg score sum is yaw-invariant up to pixel rasterization, so
         # position-keyed reuse across ticks is sound.
-        assert pano_cache in ("off", "version", "reach"), pano_cache
+        assert pano_cache in ("off", "version"), pano_cache
         self.pano_cache_mode = pano_cache
-        self.pano_cache_margin = float(pano_cache_margin)
-        self.pano_cache_max_age = int(pano_cache_max_age)
-        # bounded: entries past capacity evict oldest-version first (an entry
-        # older than pano_cache_max_age can never validate anyway)
+        # bounded: entries past capacity evict oldest-version first
         self.pano_cache_capacity = int(pano_cache_capacity)
         self._pano_cache: Dict[tuple, dict] = {}
         self.pano_cache_hits = 0
@@ -191,11 +188,6 @@ class MapperNode:
         else:
             self.movement_fail_times = 0
         frame = self.dataset.get_frame()
-        # high-loss-sample detection runs on map frames inside the mapper
-        if self.mapper.buf.num_active() > 0:
-            self.mapper.high_loss_samples_pose_c2w = self.mapper.get_high_loss_samples(
-                frame["rgb"], frame["depth"], frame["c2w"]
-            )
         self.mapper.run(frame)
         self.last_frame = frame
         if self.live_view is not None:
@@ -436,6 +428,23 @@ class MapperNode:
         if self.recorder is not None:
             step, _ = self.dataset.get_step_info()
             self.recorder.save_panorama(step, "local", invis)
+        # High-loss reorientation proposal, computed LAZILY at its single
+        # consumption point (here) from the current frame + current map.
+        # The reference recomputes it at the top of every __mapping
+        # (splatam/__init__.py:256-258) because its queue-decoupled mapper
+        # drops frames under load; doing that synchronously cost this port a
+        # full render + two 262 KB relay fetches EVERY step — 524 MB and
+        # ~300 s per 1000-step episode attributed to no stage in r05_cold.
+        # Same data, same consumer, fresher map state.
+        with stage("mapper/high_loss"):
+            self.mapper.high_loss_samples_pose_c2w = (
+                self.mapper.get_high_loss_samples(
+                    self.last_frame["rgb"], self.last_frame["depth"],
+                    view_c2w,
+                )
+                if self.mapper.buf.num_active() > 0
+                else None
+            )
         frustums = [best_pose]  # None means no proposal (reference Pose() zero)
         if self.mapper.high_loss_samples_pose_c2w is not None:
             frustums.append(self.mapper.high_loss_samples_pose_c2w)
@@ -448,29 +457,13 @@ class MapperNode:
     def _global_scores_cached(self, view_c2w, positions):
         """Per-node (invisibility, volume) with the position-keyed score
         cache; only stale nodes are re-rendered (one batched device call).
-
-        "reach" mode invalidates per change box with two irrelevance tests:
-        (a) the box lies beyond the node's visible reach (+margin), and
-        (b) 2D line-of-sight from the node to the box is fully blocked by
-        observed-occupied cells of the cached topdown map. (a) alone never
-        fires indoors — an exploration pano almost always has holes, which
-        make reach infinite, and a finite reach spans most of a small scene
-        anyway (0/192 hits in both r04 cold AND the per-box-reach rerun).
-        (b) is the test with indoor teeth: mapping in one room cannot change
-        pano scores of nodes walled off in another. It is a planner-side
-        heuristic (height-band slice, sampled box faces) — "version" mode
-        remains the exact option."""
+        Reuse requires an unchanged mapper.map_version ("version" mode) —
+        exact by construction. See the ctor note for why the cross-version
+        "reach" mode was removed."""
         n = len(positions)
         ver = self.mapper.map_version
         results: list = [None] * n
         need: list = []
-        solid = None
-        solid_ver = -1
-        if self.pano_cache_mode == "reach" and self._topdown_cache is not None:
-            from activesplat_tpu.queries.topdown import solid_map
-
-            solid_ver = self._topdown_cache[0]
-            solid = solid_map(self._topdown_cache[1], self._topdown_cache[2])
         for i, pos in enumerate(positions):
             if np.all(pos == 0):  # reference skip semantics (zero node)
                 results[i] = (0.0, 0.0)
@@ -479,24 +472,11 @@ class MapperNode:
             p3d = np.array([pos[0], view_c2w[1, 3], pos[2]])
             key = tuple(np.round(p3d / 0.05).astype(int))
             e = self._pano_cache.get(key)
-            fresh = False
-            if e is not None and self.pano_cache_mode != "off":
-                if e["version"] == ver:
-                    fresh = True
-                elif (
-                    self.pano_cache_mode == "reach"
-                    and ver - e["version"] <= self.pano_cache_max_age
-                ):
-                    boxes = self.mapper.boxes_since(e["version"])
-                    if boxes is not None:
-                        # the occluder map must cover every change the cached
-                        # score predates, else LOS can't rule anything out
-                        los_solid = solid if solid_ver >= e["version"] else None
-                        fresh = all(
-                            self._box_irrelevant(p3d, box, e["reach"], los_solid)
-                            for box in boxes
-                        )
-            if fresh:
+            if (
+                e is not None
+                and self.pano_cache_mode != "off"
+                and e["version"] == ver
+            ):
                 results[i] = (e["inv"], e["vol"])
                 self.pano_cache_hits += 1
             else:
@@ -509,11 +489,9 @@ class MapperNode:
                 scores = self.mapper.get_global_invisibility(
                     view_c2w, positions[[i for i, _ in need]]
                 )
-            for (i, key), (inv, vol, reach) in zip(need, scores):
+            for (i, key), (inv, vol, _reach) in zip(need, scores):
                 results[i] = (inv, vol)
-                self._pano_cache[key] = {
-                    "version": ver, "inv": inv, "vol": vol, "reach": reach,
-                }
+                self._pano_cache[key] = {"version": ver, "inv": inv, "vol": vol}
             if len(self._pano_cache) > self.pano_cache_capacity:
                 drop = len(self._pano_cache) - self.pano_cache_capacity
                 for key, _ in sorted(
@@ -521,44 +499,6 @@ class MapperNode:
                 )[:drop]:
                     del self._pano_cache[key]
         return results
-
-    def _box_irrelevant(
-        self,
-        p3d: np.ndarray,
-        box: np.ndarray,  # (2, 3) world AABB of one frame's observed cloud
-        reach: float,
-        solid: Optional[np.ndarray],  # u8 occluder grid, or None = unusable
-    ) -> bool:
-        """True iff this map-change box provably cannot affect the node's
-        panorama score: beyond the node's visible reach, or 2D-walled-off on
-        the topdown occluder grid (every sampled box face point blocked)."""
-        d = np.linalg.norm(
-            np.maximum(0.0, np.maximum(box[0] - p3d, p3d - box[1]))
-        )
-        if np.isfinite(reach) and d > reach + self.pano_cache_margin:
-            return True
-        if solid is None:
-            return False
-        from activesplat_tpu.queries.topdown import los_blocked, world_to_topdown
-
-        cfg = self.topdown_cfg
-        dim_u, dim_v = cfg.world_dim_index
-        # sample the box's 2D footprint at <=0.75 m spacing (a corners-only
-        # test could miss a visible slit through the middle of a large box)
-        nu = int(np.clip(np.ceil((box[1, dim_u] - box[0, dim_u]) / 0.75) + 1, 2, 5))
-        nv = int(np.clip(np.ceil((box[1, dim_v] - box[0, dim_v]) / 0.75) + 1, 2, 5))
-        us = np.linspace(box[0, dim_u], box[1, dim_u], nu)
-        vs = np.linspace(box[0, dim_v], box[1, dim_v], nv)
-        pts = np.zeros((nu * nv, 3))
-        uu, vv = np.meshgrid(us, vs, indexing="ij")
-        pts[:, dim_u] = uu.reshape(-1)
-        pts[:, dim_v] = vv.reshape(-1)
-        uvs = world_to_topdown(pts, cfg)
-        node_uv = world_to_topdown(p3d[None], cfg)[0]
-        trim = max(2, int(round(0.12 / cfg.meter_per_pixel)))
-        return all(
-            los_blocked(solid, node_uv, uv, trim_px=trim) for uv in uvs
-        )
 
     def _set_mapper(self, kf_every: int = 0, map_every: int = 0) -> Dict[str, int]:
         old = {
