@@ -98,41 +98,6 @@ def world_to_topdown(points: np.ndarray, cfg: TopdownConfig) -> np.ndarray:
     return np.stack([u, v], -1)
 
 
-def solid_map(free_binary: np.ndarray, unobserved_binary: np.ndarray) -> np.ndarray:
-    """u8 (H, W), 1 where the height band is OBSERVED OCCUPIED (not free and
-    not unobserved) — the 2D occluder set for line-of-sight tests."""
-    return ((free_binary == 0) & (unobserved_binary == 0)).astype(np.uint8)
-
-
-def los_blocked(
-    solid: np.ndarray,  # u8 (H, W), 1 = occupied (solid_map output)
-    uv_a: np.ndarray,  # (2,) float pixel coords (u, v)
-    uv_b: np.ndarray,
-    trim_px: int = 2,
-) -> bool:
-    """True iff the straight 2D segment a->b crosses an occupied cell, with a
-    `trim_px` disk around each endpoint excluded from the test.
-
-    The trim matters because both endpoints routinely sit ON surfaces: change
-    AABBs are observed-depth clouds (their samples lie on walls) and agents
-    stand next to obstacles — without it every segment would read blocked by
-    its own endpoint's wall. Out-of-grid endpoints return False (visible):
-    callers use "blocked" to SKIP work, so unknown must stay conservative."""
-    import cv2
-
-    h, w = solid.shape
-    a = np.round(np.asarray(uv_a, np.float64)).astype(int)
-    b = np.round(np.asarray(uv_b, np.float64)).astype(int)
-    for p in (a, b):
-        if not (0 <= p[0] < w and 0 <= p[1] < h):
-            return False
-    mask = np.zeros((h, w), np.uint8)
-    cv2.line(mask, tuple(a), tuple(b), 1, 1)
-    cv2.circle(mask, tuple(a), int(trim_px), 0, -1)
-    cv2.circle(mask, tuple(b), int(trim_px), 0, -1)
-    return bool(np.any(mask & solid))
-
-
 def topdown_to_world(
     uv: np.ndarray, cfg: TopdownConfig, height_value: float
 ) -> np.ndarray:
