@@ -175,6 +175,20 @@ def main():
             "misses": mapper_node.pano_cache_misses,
             "stale": mapper_node.pano_cache_stale,
         },
+        # planner decision summary (full ledger: <results>/planner_log.jsonl)
+        "planner": {
+            "targets": sum(
+                1 for e in planner.decision_log if e["event"] == "target"
+            ),
+            "refines": sum(
+                1 for e in planner.decision_log if e["event"] == "refine_begin"
+            ),
+            "bounces": sum(
+                1 for e in planner.decision_log if e["event"] == "bounce"
+            ),
+            "scan_churn_breaks": planner.scan_churn_breaks,
+            "fail_nodes": len(planner.fail_nodes_index),
+        },
         # full vs windowed vs no-op topdown re-renders (IncrementalTopdown)
         "topdown_renders": (
             dict(mapper_node._topdown_inc.stats)
