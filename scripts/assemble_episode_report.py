@@ -12,8 +12,13 @@ import sys
 def main():
     out_path = sys.argv[1]
     runs = {}
+    note = None
     for arg in sys.argv[2:]:
         label, path = arg.split(":", 1)
+        if label == "note":  # plain-text narrative file, surfaced at the top
+            with open(path) as fh:
+                note = fh.read().strip()
+            continue
         with open(path) as fh:
             runs[label] = json.load(fh)
     headline_key = "headline" if "headline" in runs else list(runs)[-1]
@@ -30,6 +35,8 @@ def main():
         "depth_l1": headline["depth_l1"],
         "runs": runs,
     }
+    if note is not None:
+        report["note"] = note
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "runs"}, indent=2))
