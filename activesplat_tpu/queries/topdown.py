@@ -27,6 +27,7 @@ import numpy as np
 from activesplat_tpu.models.gaussians import Camera, GaussianBuffer, make_camera
 from activesplat_tpu.ops.render import render_jit
 from activesplat_tpu.utils.tracing import fetch as tfetch
+from activesplat_tpu.utils.tracing import stage
 
 CAMERA_HEIGHT = 1000.0  # visualizer.py:1577
 FREE_OPACITY_THRESHOLD = 0.4  # visualizer.py:954
@@ -376,30 +377,41 @@ class IncrementalTopdown:
         )
         self._snap = None  # (params, active) pytree refs at last render
         self._maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
-        self.stats = {"full": 0, "window": 0, "clean": 0}
+        # full_first/full_growth/full_oversize decompose "full"; the sub-stage
+        # timers (queries/topdown/{diff,full,window}) decompose the wall clock
+        self.stats = {
+            "full": 0, "window": 0, "clean": 0,
+            "full_first": 0, "full_growth": 0, "full_oversize": 0,
+        }
 
-    def _full(self, buf: GaussianBuffer, foot_adjust: float, chunk: int):
-        free, unobs, _ = render_topdown(
-            buf, self.cfg, foot_adjust=foot_adjust, chunk=chunk,
-            k_per_tile=self.k_per_tile,
-        )
+    def _full(self, buf: GaussianBuffer, foot_adjust: float, chunk: int,
+              reason: str = "full_oversize"):
+        with stage("queries/topdown/full"):
+            free, unobs, _ = render_topdown(
+                buf, self.cfg, foot_adjust=foot_adjust, chunk=chunk,
+                k_per_tile=self.k_per_tile,
+            )
         self._maps = (free, unobs)
         self._snap = (buf.params, buf.active)
         self.stats["full"] += 1
+        self.stats[reason] += 1
         return free, unobs
 
     def refresh(
         self, buf: GaussianBuffer, foot_adjust: float = 0.0, chunk: int = 256
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Return up-to-date (free_binary, unobserved_binary) u8 maps."""
-        if self._snap is None or self._snap[0].capacity != buf.capacity:
-            return self._full(buf, foot_adjust, chunk)
-        packed = tfetch(
-            _changed_bbox(
-                buf.params, buf.active, self._snap[0], self._snap[1],
-                jnp.float32(TOPDOWN_SCALE_MODIFIER),
+        if self._snap is None:
+            return self._full(buf, foot_adjust, chunk, reason="full_first")
+        if self._snap[0].capacity != buf.capacity:
+            return self._full(buf, foot_adjust, chunk, reason="full_growth")
+        with stage("queries/topdown/diff"):
+            packed = tfetch(
+                _changed_bbox(
+                    buf.params, buf.active, self._snap[0], self._snap[1],
+                    jnp.float32(TOPDOWN_SCALE_MODIFIER),
+                )
             )
-        )
         if packed[0] == 0:
             self.stats["clean"] += 1
             return self._maps
@@ -427,16 +439,17 @@ class IncrementalTopdown:
         from activesplat_tpu.ops.render import forward_backend
 
         cam = topdown_window_camera(self.cfg, u0, v0, win, win)
-        both_u8, _ = _topdown_binary(
-            buf, cam,
-            jnp.float32(self.cfg.agent_foot + foot_adjust),
-            jnp.float32(self.cfg.agent_head),
-            height_axis=self.cfg.height_axis,
-            chunk=chunk,
-            k_per_tile=self.k_per_tile,
-            backend=forward_backend(),
-        )
-        both = tfetch(both_u8)
+        with stage("queries/topdown/window"):
+            both_u8, _ = _topdown_binary(
+                buf, cam,
+                jnp.float32(self.cfg.agent_foot + foot_adjust),
+                jnp.float32(self.cfg.agent_head),
+                height_axis=self.cfg.height_axis,
+                chunk=chunk,
+                k_per_tile=self.k_per_tile,
+                backend=forward_backend(),
+            )
+            both = tfetch(both_u8)
         free = self._maps[0].copy()
         unobs = self._maps[1].copy()
         free[v0 : v0 + win, u0 : u0 + win] = both[0]

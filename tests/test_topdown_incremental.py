@@ -80,7 +80,10 @@ def test_incremental_refresh_equals_fresh_full_render():
     _, cfg, buf = make_map()
     eng = IncrementalTopdown(cfg)
     free0, unobs0 = eng.refresh(buf)
-    assert eng.stats == {"full": 1, "window": 0, "clean": 0}
+    assert eng.stats == {
+        "full": 1, "window": 0, "clean": 0,
+        "full_first": 1, "full_growth": 0, "full_oversize": 0,
+    }
     f_ref, u_ref, _ = render_topdown(buf, cfg, chunk=256)
     np.testing.assert_array_equal(free0, f_ref)
     np.testing.assert_array_equal(unobs0, u_ref)
