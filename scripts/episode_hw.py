@@ -69,6 +69,15 @@ def main():
             if "EP_WINDOW" in os.environ
             else {}
         ),
+        # EP_CAP bounds max_capacity (gaussians). The 512px high-res protocol
+        # exhausts v5e-1's 16 GB HBM above ~1M gaussians with hybrid exact
+        # training at k=1024 (r05_highres OOM at action 105); 1<<20 is the
+        # repro-validated shape (scripts/perf/repro_highres_512.py)
+        **(
+            {"max_capacity": int(os.environ["EP_CAP"])}
+            if "EP_CAP" in os.environ
+            else {}
+        ),
     )
     knobs = {
         "steps": steps, "scene": f"{scene}-{seed}", "res": res,
@@ -76,6 +85,7 @@ def main():
         "densify_downscale_factor": cfg.densify_downscale_factor,
         "prune": cfg.prune_gaussians, "k_per_tile": cfg.k_per_tile,
         "k_per_tile_max": cfg.k_per_tile_max,
+        "max_capacity": cfg.max_capacity,
     }
     print("episode knobs:", json.dumps(knobs))
 
