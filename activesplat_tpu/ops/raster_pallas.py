@@ -506,6 +506,125 @@ def blend_csr_pallas(
     )
 
 
+# Padding column of the entry attribute row carrying the per-entry band bit
+# for the dual-transmittance blend (colors occupy 6:14; 15 stays zero).
+BAND_COL = 14
+
+
+def _blend_csr_dual_kernel(seg_tile_ref, seg_u0_ref, seg_v0_ref, data_ref,
+                           accum_ref, logt_ref, logt2_ref):
+    """CSR blend carrying TWO transmittances: the full composite and a
+    band-masked one (entries whose BAND_COL bit is 0 contribute alpha 0 to
+    the second). One walk serves both topdown maps — the whole-map
+    "unobserved" render (accum + logt) and the height-sliced "free" render
+    (logt2) — where the old path ran two full CSR expansions (reference
+    visualizer.py:926-976 renders the pair per GaussianPacket). Zeroed
+    alphas contribute exact +0.0 terms to the second prefix sum, so logt2
+    is bitwise what a band-only walk would produce in the same entry order.
+    """
+    s = pl.program_id(0)
+    tile = seg_tile_ref[s]
+    prev_tile = seg_tile_ref[jnp.maximum(s - 1, 0)]
+    first = (s == 0) | (tile != prev_tile)
+
+    @pl.when(first)
+    def _init():
+        accum_ref[0] = jnp.zeros((PX, 8), jnp.float32)
+        logt_ref[0] = jnp.zeros((1, PX), jnp.float32)
+        logt2_ref[0] = jnp.zeros((1, PX), jnp.float32)
+
+    u0 = seg_u0_ref[s]
+    v0 = seg_v0_ref[s]
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (u0 + local % TILE).astype(jnp.float32)
+    py = (v0 + local // TILE).astype(jnp.float32)
+
+    logt = logt_ref[0]  # (1, PX)
+    logt2 = logt2_ref[0]
+    # band alpha <= full alpha pointwise, so T_band >= T_full and band
+    # saturation implies full saturation: one exit test covers both carries
+    saturated = jnp.max(logt2) < LOG_EPS
+
+    @pl.when(jnp.logical_not(saturated))
+    def _compute():
+        block = data_ref[...]  # (CSEG, N_ATTR)
+        mx = block[:, 0:1]
+        my = block[:, 1:2]
+        ca = block[:, 2:3]
+        cb = block[:, 3:4]
+        cc = block[:, 4:5]
+        op = block[:, 5:6]
+        dx = mx - px  # (CSEG, PX)
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(op * jnp.exp(power), ALPHA_MAX)
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+        logs = jnp.log1p(-alpha)
+        cum = _prefix_scan_inclusive(logs)
+        weight = alpha * jnp.exp(cum - logs + logt)  # (CSEG, PX)
+        colors = block[:, 6:14]  # (CSEG, 8)
+        contrib = jax.lax.dot_general(
+            weight,
+            colors,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (PX, 8)
+        band = block[:, BAND_COL : BAND_COL + 1]  # (CSEG, 1) 0/1
+        cum2 = _prefix_scan_inclusive(jnp.log1p(-alpha * band))
+        accum_ref[0] = accum_ref[0] + contrib
+        logt_ref[0] = logt + cum[-1:, :]
+        logt2_ref[0] = logt2 + cum2[-1:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "n_channels", "interpret")
+)
+def blend_csr_dual_pallas(
+    entry_data: jnp.ndarray,  # (E, N_ATTR) f32 with the band bit at BAND_COL
+    seg_tile: jnp.ndarray,
+    seg_u0: jnp.ndarray,
+    seg_v0: jnp.ndarray,
+    n_tiles: int,
+    n_channels: int = 3,
+    interpret: bool = False,
+):
+    """Forward-only dual-transmittance CSR blend. Same contract as
+    blend_csr_pallas plus a second log-transmittance output composited over
+    the band-masked alphas; blocks of tiles with no segments hold GARBAGE —
+    callers mask with their per-tile counts."""
+    e_tot, n_attr = entry_data.shape
+    assert n_attr == N_ATTR and e_tot % CSEG == 0, (e_tot, n_attr)
+    n_seg = e_tot // CSEG
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((CSEG, N_ATTR), lambda s, st, su, sv: (s, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PX, 8), lambda s, st, su, sv: (st[s], 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda s, st, su, sv: (st[s], 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda s, st, su, sv: (st[s], 0, 0)),
+        ],
+    )
+    accum, logt, logt2 = pl.pallas_call(
+        _blend_csr_dual_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles + 1, PX, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 1, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 1, PX), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seg_tile, seg_u0, seg_v0, entry_data)
+    return (
+        accum[:n_tiles, :, :n_channels],
+        logt[:n_tiles, 0, :],
+        logt2[:n_tiles, 0, :],
+    )
+
+
 def _blend_csr_bwd_kernel(
     seg_tile_ref,  # (n_seg,) scalar-prefetch
     seg_u0_ref,

@@ -28,7 +28,7 @@ lane width after the (K, px) reshape.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -670,6 +670,7 @@ def rasterize_tiled_exact(
     valid: jnp.ndarray,
     radius: jnp.ndarray,
     depth: jnp.ndarray,  # (N,)
+    band: Optional[jnp.ndarray] = None,  # (N,) bool: dual-transmittance bit
     *,
     width: int,
     height: int,
@@ -677,7 +678,7 @@ def rasterize_tiled_exact(
     ladder: Tuple[float, ...] = (),
     interpret: bool = False,
     differentiable: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Exact (uncapped) forward-only tile compositing in CSR layout.
 
     The multi-pass exact path (rasterize_tiled max_passes>1) re-bins and
@@ -706,6 +707,17 @@ def rasterize_tiled_exact(
     `dropped` counts memberships past `entry_budget` (the deepest entries of
     the whole render; callers escalate the budget when nonzero).
 
+    `band` (forward-only) enables the DUAL-transmittance walk: one extra
+    (H*W,) log-transmittance output composited over band-masked alphas —
+    entries whose Gaussian has band=0 contribute exact +0.0 log terms, so
+    the result is bitwise what a band-restricted render would produce in the
+    same entry order. One expansion/sort/gather/walk then serves both
+    topdown maps (the whole-map "unobserved" view and the height-sliced
+    "free" view, reference visualizer.py:926-976) where the pair previously
+    cost two full CSR instantiations per ladder rung — the dominant term of
+    both the program's compile size and its executable cache footprint.
+    Return becomes (accum, log_t, log_t_band, dropped).
+
     entry_budget = 0 picks 4 * N entries (topdown at 877k Gaussians measures
     ~2 memberships per Gaussian; perspective views frustum-cull most of the
     map but carry larger per-splat spans — ~3 in the parity tests).
@@ -722,8 +734,11 @@ def rasterize_tiled_exact(
     compiles its own branch — callers with recompile-sensitive cold paths
     should keep ladders short.
     """
-    from activesplat_tpu.ops.raster_pallas import CSEG, N_ATTR
+    from activesplat_tpu.ops.raster_pallas import BAND_COL, CSEG, N_ATTR
 
+    assert not (differentiable and band is not None), (
+        "dual-transmittance mode is forward-only"
+    )
     n = mean2d.shape[0]
     c_dim = colors.shape[-1]
     tiles_x = -(-width // TILE)
@@ -767,9 +782,14 @@ def rasterize_tiled_exact(
     qy = jnp.clip(jnp.round(g_mean2d[:, 1] * scale), -lim, lim).astype(jnp.int32)
     packed_xy = (qx << 16) | (qy & 0xFFFF)
     val_rad = jnp.where(valid, radius, -1.0)
+    # STABLE: equal-depth Gaussians keep index order, so a window-culled
+    # render (fewer valid bits, same keys) composites its common entries in
+    # the same order as the full render — topdown views are full of exact
+    # depth ties (floor/ceiling points share heights)
     _, s_xy, s_vr, order = jax.lax.sort(
         (key, packed_xy, val_rad, jnp.arange(n, dtype=jnp.int32)),
         dimension=0,
+        is_stable=True,
         num_keys=1,
     )
     s_mx = (s_xy >> 16).astype(jnp.float32) / scale
@@ -809,14 +829,19 @@ def rasterize_tiled_exact(
     # alone was 16.2 GB — the r04 HBM exhaustion). Differentiable mode keeps
     # the narrow table: the gather's transpose scatter-add in the backward
     # then moves only the 6+C live columns (measured win, CLAUDE.md).
+    if band is not None:
+        assert c_dim <= BAND_COL - 6, (c_dim, BAND_COL)
+        tail = [
+            jnp.zeros((n, BAND_COL - 6 - c_dim), mean2d.dtype),
+            band.astype(mean2d.dtype)[:, None],
+            jnp.zeros((n, N_ATTR - BAND_COL - 1), mean2d.dtype),
+        ]
+    elif differentiable:
+        tail = []
+    else:
+        tail = [jnp.zeros((n, N_ATTR - 6 - c_dim), mean2d.dtype)]
     data = jnp.concatenate(
-        [mean2d, conic, opacity[:, None], colors]
-        + (
-            []
-            if differentiable
-            else [jnp.zeros((n, N_ATTR - 6 - c_dim), mean2d.dtype)]
-        ),
-        -1,
+        [mean2d, conic, opacity[:, None], colors] + tail, -1
     )  # (N, 6 + C) or (N, N_ATTR)
     pad_row = jnp.concatenate(
         [
@@ -828,9 +853,18 @@ def rasterize_tiled_exact(
     )
     pad_data = jnp.concatenate([data, pad_row], 0)
 
-    from activesplat_tpu.ops.raster_pallas import blend_csr, blend_csr_pallas
+    from activesplat_tpu.ops.raster_pallas import (
+        blend_csr,
+        blend_csr_dual_pallas,
+        blend_csr_pallas,
+    )
 
-    blend_fn = blend_csr if differentiable else blend_csr_pallas
+    if band is not None:
+        blend_fn = blend_csr_dual_pallas
+    elif differentiable:
+        blend_fn = blend_csr
+    else:
+        blend_fn = blend_csr_pallas
 
     def _body(e: int):
         """Expansion + sort + blend at one static entry budget."""
@@ -916,9 +950,10 @@ def rasterize_tiled_exact(
         seg_u0 = jnp.where(in_grid, (seg_tile % tiles_x) * TILE, 0)
         seg_v0 = jnp.where(in_grid, (seg_tile // tiles_x) * TILE, 0)
 
-        accum_t, logt_t = blend_fn(
+        out = blend_fn(
             entry_data, seg_tile, seg_u0, seg_v0, t, c_dim, interpret
         )
+        accum_t, logt_t = out[0], out[1]
         # tiles with no entries are never visited by the kernel: mask garbage
         visited = count_full > 0
         accum_t = jnp.where(visited[:, None, None], accum_t, 0.0)
@@ -928,9 +963,20 @@ def rasterize_tiled_exact(
             accum_t, logt_t, tiles_x, tiles_y, width, height
         )
         dropped = m_total - m_kept
+        if band is None:
+            return (
+                accum_img.reshape(height * width, c_dim),
+                logt_img.reshape(height * width),
+                dropped,
+            )
+        logt2_t = jnp.where(visited[:, None], out[2], 0.0)
+        _, logt2_img = _tiles_to_image(
+            accum_t, logt2_t, tiles_x, tiles_y, width, height
+        )
         return (
             accum_img.reshape(height * width, c_dim),
             logt_img.reshape(height * width),
+            logt2_img.reshape(height * width),
             dropped,
         )
 

@@ -192,15 +192,16 @@ def render_topdown(
 
     cam = topdown_camera(cfg)
     backend = forward_backend()
+    rect = jnp.array([0, 0, cfg.width, cfg.height], jnp.int32)
 
     def run():
-        both_u8, free_alpha = _topdown_binary(
+        both_u8, free_alpha = _topdown_dual(
             buf,
             cam,
             jnp.float32(cfg.agent_foot + foot_adjust),
             jnp.float32(cfg.agent_head),
+            rect,
             height_axis=cfg.height_axis,
-            chunk=chunk,
             k_per_tile=k_per_tile,
             backend=backend,
         )
@@ -276,6 +277,147 @@ from activesplat_tpu.utils.tracing import counted_jit as _counted_jit
 _topdown_binary = _counted_jit(_topdown_binary)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("height_axis", "k_per_tile", "backend")
+)
+def _topdown_dual(
+    buf: GaussianBuffer,
+    cam: Camera,
+    foot: jnp.ndarray,
+    head: jnp.ndarray,
+    rect: jnp.ndarray,  # (4,) int32 [u0, v0, w, h] tile-aligned pixel window
+    *,
+    height_axis: int,
+    k_per_tile: int,
+    backend: str,
+):
+    """ONE device program for every topdown refresh: both maps from a single
+    dual-transmittance CSR walk (rasterize_tiled_exact band mode), optionally
+    restricted to the tile-aligned pixel window `rect` — which is TRACED, so
+    the full grid, capacity-growth re-renders and every incremental window
+    shape all reuse one executable per capacity bucket.
+
+    Replaces the _topdown_binary pair + per-window-size cameras: that design
+    compiled 3 programs per capacity bucket (full pair + one per window
+    ladder rung), each holding TWO CSR expansions x 3-4 budget rungs + two
+    multipass fallbacks — 44-54 MB serialized apiece — and the compile/
+    cache-load of that program set was ~80% of the largest stage of the r05
+    headline episode (904.6 s, steady-state only ~190 s). The window is
+    enforced as a Gaussian CULL (AABB-vs-window-tiles, the binning's own
+    tile_aabbs predicate +0.5 px quantization slack), so window pixels
+    composite exactly the full render's entry runs; pixels outside `rect`
+    are garbage and callers composite only the window region.
+
+    Returns (stacked (2, H, W) u8 [free, unobserved], free_alpha f32 (H, W)
+    [left on device]). Reference semantics: visualizer.py:926-976,
+    binarization at :954-955."""
+    from activesplat_tpu.ops.projection import (
+        adaptive_cull_radius,
+        project_gaussians,
+    )
+    from activesplat_tpu.ops.raster_tiled import (
+        TILE as BIN_TILE,
+        rasterize_tiled,
+        rasterize_tiled_exact,
+        tile_aabbs,
+    )
+
+    params = buf.params
+    proj = project_gaussians(
+        params.means3d,
+        params.quats,
+        params.log_scales,
+        buf.active,
+        cam.w2c,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        cam.width,
+        cam.height,
+        near=cam.near,
+        far=cam.far,
+        scale_modifier=TOPDOWN_SCALE_MODIFIER,
+    )
+    opac = jax.nn.sigmoid(params.logit_opacities)
+    band = _band_mask(params.means3d, height_axis, foot, head)
+    bin_radius, bin_valid = adaptive_cull_radius(proj.radius, proj.valid, opac)
+
+    tiles_x = -(-cam.width // BIN_TILE)
+    tiles_y = -(-cam.height // BIN_TILE)
+    # window cull: the binning's own AABB predicate (+0.5 px slack covering
+    # the sort-pack's 1/16 px mean quantization and +2/16 px radius dilation)
+    # against the window's tile rect — keeps exactly the Gaussians whose
+    # entries any window tile would receive from the full render
+    _, tx0, tx1, ty0, ty1 = tile_aabbs(
+        proj.mean2d[:, 0], proj.mean2d[:, 1], bin_radius + 0.5, bin_valid,
+        tiles_x, tiles_y,
+    )
+    tu0 = rect[0] // BIN_TILE
+    tu1 = (rect[0] + rect[2] - 1) // BIN_TILE
+    tv0 = rect[1] // BIN_TILE
+    tv1 = (rect[1] + rect[3] - 1) // BIN_TILE
+    keep = (tx0 <= tu1) & (tx1 >= tu0) & (ty0 <= tv1) & (ty1 >= tv0)
+    masked_valid = bin_valid & keep
+
+    interpret = jax.default_backend() != "tpu"
+    accum, logt, logt2, dropped = rasterize_tiled_exact(
+        proj.mean2d,
+        proj.conic,
+        opac,
+        params.rgb,
+        masked_valid,
+        bin_radius,
+        proj.depth,
+        band,
+        width=cam.width,
+        height=cam.height,
+        # whole-map topdown measures ~2 memberships/Gaussian; windows fit 1N
+        ladder=(1.0, 2.0),
+        interpret=interpret,
+    )
+
+    # entry-budget overflow: provably-exact bounded multipass pair (the free
+    # map via band-masked opacities — zeroed alphas composite identically to
+    # exclusion, and the bounded walk visits every membership)
+    k = max(int(k_per_tile), 1)
+    exact_passes = -(-proj.mean2d.shape[0] // k)
+
+    def _multipass(_):
+        a_full, l_full, _ = rasterize_tiled(
+            proj.mean2d, proj.conic, opac, params.rgb, masked_valid,
+            bin_radius, proj.depth, width=cam.width, height=cam.height,
+            k_per_tile=k, backend=backend, max_passes=exact_passes,
+        )
+        _, l_band, _ = rasterize_tiled(
+            proj.mean2d, proj.conic, opac * band, params.rgb, masked_valid,
+            bin_radius, proj.depth, width=cam.width, height=cam.height,
+            k_per_tile=k, backend=backend, max_passes=exact_passes,
+        )
+        return a_full, l_full, l_band
+
+    accum, logt, logt2 = jax.lax.cond(
+        dropped > 0, _multipass, lambda _: (accum, logt, logt2), None
+    )
+
+    hw = (cam.height, cam.width)
+    free_alpha = (1.0 - jnp.exp(logt2)).reshape(hw)
+    free_u8 = (free_alpha <= FREE_OPACITY_THRESHOLD).astype(jnp.uint8)
+    # white background + uint8 TRUNCATION (the reference's .astype(np.uint8)
+    # cast); the reference compares gray == 255 — rounding would flip faintly
+    # observed pixels (rgb ~0.999) back to "unobserved"
+    rgb_img = accum[:, :3] + jnp.exp(logt)[:, None]
+    rgb_u8 = jnp.floor(jnp.clip(rgb_img, 0.0, 1.0) * 255.0).reshape(hw + (3,))
+    gray = jnp.round(
+        0.299 * rgb_u8[..., 0] + 0.587 * rgb_u8[..., 1] + 0.114 * rgb_u8[..., 2]
+    )
+    unobs_u8 = (gray == 255.0).astype(jnp.uint8)
+    return jnp.stack([free_u8, unobs_u8]), free_alpha
+
+
+_topdown_dual = _counted_jit(_topdown_dual)
+
+
 @jax.jit
 def _changed_bbox(params, active, snap_params, snap_active, modifier):
     """Exact changed-set bound vs a parameter snapshot.
@@ -314,47 +456,23 @@ def _changed_bbox(params, active, snap_params, snap_active, modifier):
 _changed_bbox = _counted_jit(_changed_bbox)
 
 
-def topdown_window_camera(
-    cfg: TopdownConfig, u0: int, v0: int, w: int, h: int
-) -> Camera:
-    """Camera whose (w, h) image is pixels [u0:u0+w, v0:v0+h] of the full
-    top-down grid: same pose and focal length, principal point shifted by the
-    window origin — pixel (i, j) of the window sees the exact ray of pixel
-    (u0+i, v0+j) of `topdown_camera(cfg)` (identical up to one float add)."""
-    full = topdown_camera(cfg)
-    intr = np.array(
-        [
-            [float(full.fx), 0, float(full.cx) - u0],
-            [0, float(full.fy), float(full.cy) - v0],
-            [0, 0, 1],
-        ]
-    )
-    return make_camera(w, h, intr, np.asarray(full.w2c), near=full.near, far=full.far)
-
-
-def default_window_ladder(cfg: TopdownConfig) -> Tuple[int, ...]:
-    """Square window sizes (px) for incremental re-renders: two rungs at
-    ~0.45x / ~0.8x of the smaller grid dimension, 16-aligned (tile size).
-    Each rung is one extra compile per capacity bucket — keep it short."""
-    m = min(cfg.width, cfg.height)
-    sizes = sorted({max(48, int(np.ceil(m * f / 16)) * 16) for f in (0.45, 0.8)})
-    return tuple(s for s in sizes if s <= m)
-
-
 class IncrementalTopdown:
     """Top-down map cache with windowed incremental re-renders.
 
     The planner polls get_topdown every navigation tick; the reference
     re-renders the full grid whenever the map changed (2 of every 5 frames
     under the benchmark schedule), which made `queries/topdown` the largest
-    stage of the r04 headline episode (156 s / 14.2 min). But each mapping
-    event only touches a local set of Gaussians, found EXACTLY by diffing
-    params against a snapshot taken at the last render (`_changed_bbox`).
-    When the changed box (old+new footprints, padded for screen-space
-    dilation) fits a ladder window, only that window is re-rendered — with a
-    shifted principal point so window pixels equal the full render's — and
-    composited into the cached maps. Oversized changes, capacity growth, and
-    opacity resets fall back to the full render.
+    stage of the r04/r05 headline episodes. Each mapping event only touches
+    a local set of Gaussians, found EXACTLY by diffing params against a
+    snapshot taken at the last render (`_changed_bbox`). The changed box
+    (old+new footprints, padded for screen-space dilation) is tile-aligned
+    and re-rendered through `_topdown_dual`'s TRACED window rect — one
+    executable per capacity bucket serves the full grid and every window
+    shape (the previous per-window-size camera programs were 44-54 MB of
+    serialized executable EACH, and their compile/cache-load dominated the
+    stage; see _topdown_dual). The window region is composited into the
+    cached maps; capacity growth and whole-grid boxes render the full rect
+    through the same program.
 
     Reference semantics being reproduced: visualizer.py:926-976 (full-grid
     re-render per GaussianPacket).
@@ -368,13 +486,9 @@ class IncrementalTopdown:
         self,
         cfg: TopdownConfig,
         k_per_tile: int = 256,
-        window_ladder: Optional[Tuple[int, ...]] = None,
     ) -> None:
         self.cfg = cfg
         self.k_per_tile = int(k_per_tile)
-        self.window_ladder = (
-            default_window_ladder(cfg) if window_ladder is None else tuple(window_ladder)
-        )
         self._snap = None  # (params, active) pytree refs at last render
         self._maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
         # full_first/full_growth/full_oversize decompose "full"; the sub-stage
@@ -384,18 +498,42 @@ class IncrementalTopdown:
             "full_first": 0, "full_growth": 0, "full_oversize": 0,
         }
 
+    def _render_rect(self, buf: GaussianBuffer, foot_adjust: float,
+                     u0: int, v0: int, w: int, h: int) -> np.ndarray:
+        """Run the dual program on [u0:u0+w, v0:v0+h] and fetch the u8 pair
+        (full-grid arrays; only the rect region is valid)."""
+        from activesplat_tpu.ops.render import forward_backend
+
+        from activesplat_tpu.utils.relay import with_retry
+
+        cam = topdown_camera(self.cfg)
+        rect = np.array([u0, v0, w, h], np.int32)
+
+        def run():
+            both_u8, _ = _topdown_dual(
+                buf, cam,
+                jnp.float32(self.cfg.agent_foot + foot_adjust),
+                jnp.float32(self.cfg.agent_head),
+                rect,
+                height_axis=self.cfg.height_axis,
+                k_per_tile=self.k_per_tile,
+                backend=forward_backend(),
+            )
+            return tfetch(both_u8)
+
+        return with_retry(run, desc="queries/topdown fetch")
+
     def _full(self, buf: GaussianBuffer, foot_adjust: float, chunk: int,
               reason: str = "full_oversize"):
         with stage("queries/topdown/full"):
-            free, unobs, _ = render_topdown(
-                buf, self.cfg, foot_adjust=foot_adjust, chunk=chunk,
-                k_per_tile=self.k_per_tile,
+            both = self._render_rect(
+                buf, foot_adjust, 0, 0, self.cfg.width, self.cfg.height
             )
-        self._maps = (free, unobs)
+        self._maps = (both[0], both[1])
         self._snap = (buf.params, buf.active)
         self.stats["full"] += 1
         self.stats[reason] += 1
-        return free, unobs
+        return self._maps
 
     def refresh(
         self, buf: GaussianBuffer, foot_adjust: float = 0.0, chunk: int = 256
@@ -424,36 +562,26 @@ class IncrementalTopdown:
         uv = world_to_topdown(corners, self.cfg)
         lo = np.floor(uv.min(0)) - self.MARGIN_PX
         hi = np.ceil(uv.max(0)) + self.MARGIN_PX
-        need_w, need_h = hi[0] - lo[0], hi[1] - lo[1]
         W, H = self.cfg.width, self.cfg.height
-        win = next(
-            (s for s in self.window_ladder
-             if s >= need_w and s >= need_h and s <= W and s <= H),
-            None,
-        )
-        if win is None:
+        # tile-align (the window cull keeps whole tiles) and clip to the grid
+        t = 16
+        u0 = int(np.clip(np.floor(lo[0] / t) * t, 0, W))
+        v0 = int(np.clip(np.floor(lo[1] / t) * t, 0, H))
+        u1 = int(np.clip(np.ceil((hi[0] + 1) / t) * t, 0, W))
+        v1 = int(np.clip(np.ceil((hi[1] + 1) / t) * t, 0, H))
+        if u1 <= u0 or v1 <= v0:
+            self.stats["clean"] += 1
+            return self._maps
+        if (u1 - u0) * (v1 - v0) >= W * H:
             return self._full(buf, foot_adjust, chunk)
-        # center the window on the box, clamped inside the grid
-        u0 = int(np.clip(round((lo[0] + hi[0]) / 2 - win / 2), 0, W - win))
-        v0 = int(np.clip(round((lo[1] + hi[1]) / 2 - win / 2), 0, H - win))
-        from activesplat_tpu.ops.render import forward_backend
-
-        cam = topdown_window_camera(self.cfg, u0, v0, win, win)
         with stage("queries/topdown/window"):
-            both_u8, _ = _topdown_binary(
-                buf, cam,
-                jnp.float32(self.cfg.agent_foot + foot_adjust),
-                jnp.float32(self.cfg.agent_head),
-                height_axis=self.cfg.height_axis,
-                chunk=chunk,
-                k_per_tile=self.k_per_tile,
-                backend=forward_backend(),
+            both = self._render_rect(
+                buf, foot_adjust, u0, v0, u1 - u0, v1 - v0
             )
-            both = tfetch(both_u8)
         free = self._maps[0].copy()
         unobs = self._maps[1].copy()
-        free[v0 : v0 + win, u0 : u0 + win] = both[0]
-        unobs[v0 : v0 + win, u0 : u0 + win] = both[1]
+        free[v0:v1, u0:u1] = both[0][v0:v1, u0:u1]
+        unobs[v0:v1, u0:u1] = both[1][v0:v1, u0:u1]
         self._maps = (free, unobs)
         self._snap = (buf.params, buf.active)
         self.stats["window"] += 1

@@ -1,18 +1,26 @@
 """Decompose the in-episode queries/topdown cost (EPISODE_r05: 904.6 s /
 645 calls = 1.4 s mean, the largest stage at 43% of wall).
 
-Loads a finished episode's params.npz (the r05_fixed headline checkpoint is
-988k Gaussians) and times every piece of IncrementalTopdown.refresh at the
-real shapes on hardware, fetch-synced through the relay:
+Loads a checkpoint's params.npz (episodes/synth_1m is a ~988k-Gaussian
+backprojection build, scripts/perf/make_synthetic_checkpoint.py) and times
+every piece of IncrementalTopdown.refresh at the real shapes on hardware,
+fetch-synced through the relay:
 
   diff        _changed_bbox jit + (7,) fetch            (paid on EVERY call)
-  pair        _topdown_binary (both exact renders) + u8 fetch  (full path)
-  free_only   the height-sliced exact render alone, ladder (0.5, 1.0, 2.0)
-  full_only   the all-Gaussian exact render alone, ladder (1.0, 2.0)
-  win<S>      the windowed pair at each ladder rung + fetch  (window path)
+  pair        OLD two-render program (_topdown_binary)  (r5 baseline)
+  dual        NEW single dual-transmittance program (_topdown_dual), full rect
+  dual_win    the dual program at a small window rect (same executable)
+  refresh_*   IncrementalTopdown end-to-end window / full paths
 
-Env: EP_DIR (default episodes/r05_fixed), EP_SCENE/EP_SEED/EP_RES,
-PIXEL_MAX, REPS (default 20). Run with ambient JAX_PLATFORMS=axon.
+Measured r5-baseline @988k (grid 360x216): diff 36 ms, pair 263 ms,
+win112 program 122 ms, refresh_window 284 ms, refresh_full 297 ms — i.e.
+steady state explains only ~190 s of the 904.6 s episode stage; the rest is
+compile/executable-load of the 3-programs-per-capacity design (44-54 MB
+serialized each), which the dual program replaces.
+
+Env: EP_DIR (default episodes/synth_1m), EP_SCENE/EP_SEED/EP_RES,
+PIXEL_MAX, REPS (default 20), SKIP_PAIR=1 to skip the old-path baselines.
+Run with ambient JAX_PLATFORMS=axon.
 """
 
 import json
@@ -26,12 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 
 
 def timed(fn, reps):
+    t0 = time.perf_counter()
     fn()  # compile + warm
+    compile_s = time.perf_counter() - t0
     fn()
     t0 = time.perf_counter()
     for _ in range(reps):
         fn()
-    return (time.perf_counter() - t0) / reps * 1e3
+    return (time.perf_counter() - t0) / reps * 1e3, compile_s
 
 
 def main():
@@ -39,20 +49,20 @@ def main():
     import jax.numpy as jnp
 
     from activesplat_tpu.io.params_io import buffer_from_params, load_params
-    from activesplat_tpu.models.gaussians import make_camera
-    from activesplat_tpu.ops.render import forward_backend, render_jit
+    from activesplat_tpu.ops.render import forward_backend
     from activesplat_tpu.queries import topdown as T
     from activesplat_tpu.runtime.launch import make_synthetic_dataset
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     results_dir = os.environ.get(
-        "EP_DIR", os.path.join(root, "episodes", "r05_fixed")
+        "EP_DIR", os.path.join(root, "episodes", "synth_1m")
     )
     scene = os.environ.get("EP_SCENE", "two_room")
     seed = int(os.environ.get("EP_SEED", 0))
     res = int(os.environ.get("EP_RES", 256))
     pixel_max = int(os.environ.get("PIXEL_MAX", 360))
     reps = int(os.environ.get("REPS", 20))
+    skip_pair = os.environ.get("SKIP_PAIR", "0") == "1"
 
     ds = make_synthetic_dataset(
         scene_id=scene, seed=seed, step_num=10, width=res, height=res
@@ -80,7 +90,6 @@ def main():
     rows = {
         "capacity": buf.capacity, "active": n_active, "sliced": sliced_n,
         "grid": [cfg.height, cfg.width],
-        "ladder": list(T.default_window_ladder(cfg)),
     }
     print(json.dumps(rows), flush=True)
     backend = forward_backend()
@@ -90,6 +99,11 @@ def main():
 
     out = {}
 
+    def emit(name, val, compile_s):
+        out[name] = val
+        print(json.dumps({name: val, "compile_s": round(compile_s, 1)}),
+              flush=True)
+
     # 1. diff (clean: params vs themselves — same cost as the dirty case)
     def diff():
         packed = T._changed_bbox(
@@ -98,67 +112,41 @@ def main():
         )
         return np.asarray(packed)
 
-    out["diff_ms"] = timed(diff, reps)
-    print(json.dumps({"diff_ms": out["diff_ms"]}), flush=True)
+    emit("diff_ms", *timed(diff, reps))
 
-    # 2. the full pair exactly as the service runs it
-    def pair():
-        both, _ = T._topdown_binary(
-            buf, cam, foot, head, height_axis=cfg.height_axis,
-            chunk=256, k_per_tile=256, backend=backend,
-        )
-        return np.asarray(both)
-
-    out["pair_ms"] = timed(pair, reps)
-    print(json.dumps({"pair_ms": out["pair_ms"]}), flush=True)
-
-    # 3. each exact render alone (fetch one scalar to sync)
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("which",))
-    def one_render(buf, cam, foot, head, which):
-        sliced = T._band_mask(buf.params.means3d, cfg.height_axis, foot, head)
-        if which == "free":
-            r = render_jit(
-                buf, cam, scale_modifier=T.TOPDOWN_SCALE_MODIFIER, chunk=256,
-                active_override=sliced, k_per_tile=256, backend=backend,
-                exact=True, exact_ladder=(0.5, 1.0, 2.0),
-            )
-            return r.alpha.sum()
-        r = render_jit(
-            buf, cam, bg=jnp.ones(3), scale_modifier=T.TOPDOWN_SCALE_MODIFIER,
-            chunk=256, k_per_tile=256, backend=backend, exact=True,
-            exact_ladder=(1.0, 2.0),
-        )
-        return r.rgb.sum()
-
-    for which in ("free", "full"):
-        out[f"{which}_only_ms"] = timed(
-            lambda w=which: float(np.asarray(one_render(buf, cam, foot, head, w))),
-            reps,
-        )
-        print(json.dumps({f"{which}_only_ms": out[f"{which}_only_ms"]}), flush=True)
-
-    # 4. windowed pair at each rung
-    for win in T.default_window_ladder(cfg):
-        u0 = max(0, (cfg.width - win) // 2)
-        v0 = max(0, (cfg.height - win) // 2)
-        wcam = T.topdown_window_camera(cfg, u0, v0, win, win)
-
-        def wpair(wc=wcam):
+    # 2. OLD two-render pair program (the r5 episode baseline)
+    if not skip_pair:
+        def pair():
             both, _ = T._topdown_binary(
-                buf, wc, foot, head, height_axis=cfg.height_axis,
+                buf, cam, foot, head, height_axis=cfg.height_axis,
                 chunk=256, k_per_tile=256, backend=backend,
             )
             return np.asarray(both)
 
-        out[f"win{win}_ms"] = timed(wpair, reps)
-        print(json.dumps({f"win{win}_ms": out[f"win{win}_ms"]}), flush=True)
+        emit("pair_ms", *timed(pair, reps))
 
-    # 5. end-to-end refresh: window path (perturb a tight cluster) and the
-    # oversize->full path (perturb two far-apart clusters)
+    # 3. NEW dual program: full rect and a window rect (same executable —
+    # the second timed() must show compile_s ~0)
+    def dual(rect):
+        both, _ = T._topdown_dual(
+            buf, cam, foot, head, np.asarray(rect, np.int32),
+            height_axis=cfg.height_axis, k_per_tile=256, backend=backend,
+        )
+        return np.asarray(both)
+
+    emit("dual_full_ms", *timed(lambda: dual([0, 0, cfg.width, cfg.height]), reps))
+    w = min(112, cfg.width)
+    u0 = (cfg.width - w) // 2 // 16 * 16
+    v0 = (cfg.height - w) // 2 // 16 * 16
+    emit("dual_win112_ms", *timed(lambda: dual([u0, v0, w, w]), reps))
+
+    # 4. end-to-end refresh: window path (perturb a tight cluster) and the
+    # full path (fresh engine)
     inc = T.IncrementalTopdown(cfg)
-    inc._full(buf, 0.0, 256)
+    t0 = time.perf_counter()
+    inc.refresh(buf)
+    print(json.dumps({"first_refresh_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
 
     means = np.asarray(buf.params.means3d)
     act = np.asarray(buf.active)
@@ -166,34 +154,25 @@ def main():
     d = np.linalg.norm(means - center, axis=1)
     near = np.argsort(np.where(act, d, np.inf))[:2048]
 
-    def perturb(idx):
-        new_means = jnp.asarray(means).at[idx].add(0.003)
-        params = buf.params.replace(means3d=new_means)
-        return buf.replace(params=params)
-
-    buf_local = perturb(near)
+    new_means = jnp.asarray(means).at[near].add(0.003)
+    buf_local = buf.replace(params=buf.params.replace(means3d=new_means))
 
     def refresh_window():
         inc._snap = (buf.params, buf.active)
         inc._maps = (np.zeros((cfg.height, cfg.width), np.uint8),) * 2
         return inc.refresh(buf_local, 0.0, 256)
 
-    out["refresh_window_ms"] = timed(refresh_window, max(5, reps // 2))
-    print(json.dumps({
-        "refresh_window_ms": out["refresh_window_ms"], "stats": inc.stats,
-    }), flush=True)
-
-    far = np.argsort(np.where(act, -d, -np.inf))[:1024]
-    buf_spread = perturb(np.concatenate([near[:1024], far]))
+    ms, c = timed(refresh_window, max(5, reps // 2))
+    emit("refresh_window_ms", ms, c)
+    print(json.dumps({"stats": inc.stats}), flush=True)
 
     def refresh_full():
-        inc._snap = (buf.params, buf.active)
-        return inc.refresh(buf_spread, 0.0, 256)
+        inc._snap = None
+        return inc.refresh(buf, 0.0, 256)
 
-    out["refresh_full_ms"] = timed(refresh_full, max(5, reps // 2))
-    print(json.dumps({
-        "refresh_full_ms": out["refresh_full_ms"], "stats": inc.stats,
-    }), flush=True)
+    ms, c = timed(refresh_full, max(5, reps // 2))
+    emit("refresh_full_ms", ms, c)
+    print(json.dumps({"stats": inc.stats}), flush=True)
 
     print("RESULT " + json.dumps(out), flush=True)
 

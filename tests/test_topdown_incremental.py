@@ -10,9 +10,9 @@ from activesplat_tpu.queries.topdown import (
     IncrementalTopdown,
     _changed_bbox,
     _topdown_binary,
+    _topdown_dual,
     render_topdown,
     topdown_camera,
-    topdown_window_camera,
     world_to_topdown,
 )
 from activesplat_tpu.runtime.synthetic import BoxWorld
@@ -26,22 +26,53 @@ def make_map(seed=3, n=4000):
     return world, cfg, buffer_from_points(pts, scale=0.08)
 
 
-def test_window_camera_matches_full_render_slice():
+def test_dual_render_matches_pair_oracle():
+    """The single dual-transmittance walk must reproduce the two-render pair
+    (_topdown_binary), whose CPU/xla path composites via the independent
+    bounded multipass walk — an oracle that shares no CSR code with the dual
+    path."""
     _, cfg, buf = make_map()
-    full_free, full_unobs, _ = render_topdown(buf, cfg, chunk=256)
+    cam = topdown_camera(cfg)
+    foot, head = jnp.float32(cfg.agent_foot), jnp.float32(cfg.agent_head)
+    pair, _ = _topdown_binary(
+        buf, cam, foot, head,
+        height_axis=cfg.height_axis, chunk=256, k_per_tile=256, backend="xla",
+    )
+    rect = np.array([0, 0, cfg.width, cfg.height], np.int32)
+    dual, _ = _topdown_dual(
+        buf, cam, foot, head, rect,
+        height_axis=cfg.height_axis, k_per_tile=256, backend="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(pair), np.asarray(dual))
+
+
+def test_dual_window_rect_matches_full_render_slice():
+    """Window rects (the traced-cull replacement for the old per-window-size
+    cameras) must reproduce the full render inside the rect exactly."""
+    _, cfg, buf = make_map()
+    cam = topdown_camera(cfg)
+    foot, head = jnp.float32(cfg.agent_foot), jnp.float32(cfg.agent_head)
+
+    def run(rect):
+        both, _ = _topdown_dual(
+            buf, cam, foot, head, np.asarray(rect, np.int32),
+            height_axis=cfg.height_axis, k_per_tile=256, backend="xla",
+        )
+        return np.asarray(both)
+
+    full = run([0, 0, cfg.width, cfg.height])
     win = 48
-    for u0, v0 in [(0, 0), (16, 8), (cfg.width - win, cfg.height - win)]:
-        cam = topdown_window_camera(cfg, u0, v0, win, win)
-        both, _ = _topdown_binary(
-            buf, cam, jnp.float32(cfg.agent_foot), jnp.float32(cfg.agent_head),
-            height_axis=cfg.height_axis, chunk=256, k_per_tile=256, backend="xla",
-        )
-        both = np.asarray(both)
+    for u0, v0 in [(0, 0), (16, 16), (cfg.width - win, cfg.height - win)]:
+        w = min(win, cfg.width - u0)
+        h = min(win, cfg.height - v0)
+        both = run([u0, v0, w, h])
         np.testing.assert_array_equal(
-            both[0], full_free[v0 : v0 + win, u0 : u0 + win]
+            both[0][v0 : v0 + h, u0 : u0 + w],
+            full[0][v0 : v0 + h, u0 : u0 + w],
         )
         np.testing.assert_array_equal(
-            both[1], full_unobs[v0 : v0 + win, u0 : u0 + win]
+            both[1][v0 : v0 + h, u0 : u0 + w],
+            full[1][v0 : v0 + h, u0 : u0 + w],
         )
 
 
