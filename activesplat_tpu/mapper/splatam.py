@@ -390,8 +390,8 @@ class SplaTAMMapper:
                     _first, desc="mapper/first_frame", stall_warn_s=60.0
                 )
                 if self._grow_if_needed(dropped, self.width * self.height):
-                    self.buf, dropped, scene_radius = first_frame_phase(
-                        self.buf, cam, rgb_j, depth_j, self.cfg
+                    self.buf, dropped, scene_radius = with_retry(
+                        _first, desc="mapper/first_frame (grown)"
                     )
             self.scene_radius = float(scene_radius)
 
@@ -412,14 +412,25 @@ class SplaTAMMapper:
                 backend=forward_backend() if self.cfg.k_per_tile else "xla",
             )
             with stage("mapper/densify"):
-                self.buf, dropped, n_new = densify_phase(
-                    self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
-                    self.cfg, **densify_kw,
-                )
-                if self._grow_if_needed(int(tfetch(dropped)), 4096):
-                    self.buf, dropped, n_new = densify_phase(
+                from activesplat_tpu.utils.relay import with_retry
+
+                # closure reads self.buf at call time: a transient relay
+                # failure (compile or fetch) re-dispatches the pure phase
+                # from the unchanged buffer; after a capacity growth it
+                # re-densifies the grown buffer (same semantics as before)
+                def _densify():
+                    buf, dropped, n_new = densify_phase(
                         self.buf, cam, rgb_j, depth_j, jnp.float32(frame_id),
                         self.cfg, **densify_kw,
+                    )
+                    return buf, int(tfetch(dropped)), n_new
+
+                self.buf, dropped_n, n_new = with_retry(
+                    _densify, desc="mapper/densify"
+                )
+                if self._grow_if_needed(dropped_n, 4096):
+                    self.buf, dropped_n, n_new = with_retry(
+                        _densify, desc="mapper/densify (grown)"
                     )
 
         # Optimization phase: selection + iterations, one device program
@@ -451,25 +462,39 @@ class SplaTAMMapper:
                         iter_per_frame,
                     )
                     from activesplat_tpu.ops.render import forward_backend
+                    from activesplat_tpu.utils.relay import with_retry
 
-                    self.buf, self.store, metrics = mapping_phase(
-                        self.buf,
-                        self.store,
-                        rgb_j,
-                        depth_j,
-                        jnp.asarray(w2c, jnp.float32),
-                        jnp.int32(frame_id),
-                        cam,
-                        self._next_key(),
-                        self.cfg,
-                        nxt - i,
-                        mesh=self.mesh,
-                        backend=(
-                            forward_backend() if self.cfg.k_per_tile else "xla"
+                    # seg_key drawn OUTSIDE the closure so a transient-error
+                    # re-dispatch replays the identical segment
+                    seg_key, seg_iters = self._next_key(), nxt - i
+                    self.buf, self.store, metrics = with_retry(
+                        lambda: mapping_phase(
+                            self.buf,
+                            self.store,
+                            rgb_j,
+                            depth_j,
+                            jnp.asarray(w2c, jnp.float32),
+                            jnp.int32(frame_id),
+                            cam,
+                            seg_key,
+                            self.cfg,
+                            seg_iters,
+                            mesh=self.mesh,
+                            backend=(
+                                forward_backend()
+                                if self.cfg.k_per_tile
+                                else "xla"
+                            ),
                         ),
+                        desc="mapper/mapping_iters",
                     )
                     i = nxt
-                packed = tfetch(metrics["packed"])  # ONE host fetch,
+                from activesplat_tpu.utils.relay import with_retry
+
+                packed = with_retry(
+                    lambda: tfetch(metrics["packed"]),
+                    desc="mapper/mapping_iters fetch",
+                )  # ONE host fetch,
                 # which also synchronizes the chain (block_until_ready is
                 # unreliable through the tunneled-TPU relay, CLAUDE.md)
             dt = time.time() - t_iter
@@ -905,16 +930,20 @@ class SplaTAMMapper:
         from activesplat_tpu.ops.render import forward_backend
 
         cam = self._camera(np.linalg.inv(c2w))
-        out = render_jit(
-            self.buf,
-            cam,
-            chunk=self.cfg.chunk,
-            k_per_tile=self.cfg.k_per_tile,
-            backend=forward_backend(),
-            exact=self.cfg.k_per_tile > 0,
-        )
-        depth = tfetch(out.depth)
-        opacity = tfetch(out.alpha)
+        from activesplat_tpu.utils.relay import with_retry
+
+        def _render_fetch():
+            out = render_jit(
+                self.buf,
+                cam,
+                chunk=self.cfg.chunk,
+                k_per_tile=self.cfg.k_per_tile,
+                backend=forward_backend(),
+                exact=self.cfg.k_per_tile > 0,
+            )
+            return tfetch(out.depth), tfetch(out.alpha)
+
+        depth, opacity = with_retry(_render_fetch, desc="mapper/high_loss")
         depth_error = np.abs(depth - depth_gt) * (depth_gt > 0)
         mask = (depth > depth_gt) & (depth_error > 0.3) & (opacity > 0.8)
         mask_small = cv2.resize(

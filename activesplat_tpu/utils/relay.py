@@ -37,6 +37,13 @@ TRANSIENT_MARKERS = (
     "TPU backend error",
     "connection reset",
     "socket closed",
+    # relay HTTP transport failures (observed killing a 1000-step episode at
+    # a densify_phase compile: "INTERNAL: http://127.0.0.1:8083/remote_compile:
+    # read body: response body closed before all bytes were read")
+    "remote_compile",
+    "response body closed",
+    "read body",
+    "broken pipe",
 )
 
 
